@@ -1,0 +1,128 @@
+"""Command-line driver mirroring the reference CLI (src/main.cpp:56-131,
+337-356).
+
+Positionals: path_to_input_db, path_to_output_file.
+Options: -r/--query_db (two-database mode), -q/--query_subset (query-subset
+mode), -s/--separator.  Mode dispatch matches main.cpp:337-356: -q wins over
+plain all-vs-all; -r with a *different* db selects two-database mode (-r with
+the same db degenerates to all-vs-all, as in the reference).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from . import __version__
+from .engine import compute
+from .etl.database import QueryTargetDatabase, SCPDatabase
+from .io.csv_writer import write_aji_csv
+from .modes import all_vs_all, query_subset, query_target
+from .types import PFAAIError
+from .utils.timing import phase_timer
+
+
+def load_query_genomes(path: str) -> list[str]:
+    """Whitespace-split genome names (reference AppParams::load_query_genomes,
+    src/main.cpp:114-124)."""
+    with open(path) as fp:
+        return fp.read().split()
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="parfastaai-tpu",
+        description="TPU-native Average Jaccard Index (AJI) engine",
+    )
+    p.add_argument("path_to_input_db", help="Path to the main/target SQLite database")
+    p.add_argument("path_to_output_file", help="Path to the output CSV")
+    p.add_argument(
+        "-r", "--query_db", default="", help="Query database (two-database mode)"
+    )
+    p.add_argument(
+        "-q",
+        "--query_subset",
+        default="",
+        help="File listing query genome names (query-subset mode)",
+    )
+    p.add_argument("-s", "--separator", default=",", help="Output field separator")
+    p.add_argument(
+        "--no-compat-qt-t-swap",
+        action="store_true",
+        help=(
+            "Disable replication of the reference's swapped T-column read in "
+            "two-database mode (see modes.query_target); changes two-database "
+            "results away from reference parity"
+        ),
+    )
+    p.add_argument("--quiet", action="store_true", help="Suppress phase timing output")
+    p.add_argument("--version", action="version", version=__version__)
+    return p
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA executables across processes; without it every CLI
+    invocation pays full (possibly remote) compilation latency."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "PARFASTAAI_JIT_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "parfastaai_tpu_jit"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimization; never fail the run over it
+
+
+def run(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    verbose = not args.quiet
+    _enable_compilation_cache()
+    try:
+        two_db = bool(args.query_db) and args.query_db != args.path_to_input_db
+        if two_db:
+            with phase_timer("DB open + metadata ", enabled=verbose):
+                db = QueryTargetDatabase(args.path_to_input_db, args.query_db)
+                pairs = query_target(
+                    db.meta, compat_qt_t_swap=not args.no_compat_qt_t_swap
+                )
+        else:
+            with phase_timer("DB open + metadata ", enabled=verbose):
+                db = SCPDatabase(args.path_to_input_db)
+            if args.query_subset:
+                queries = load_query_genomes(args.query_subset)
+                pairs = query_subset(db.meta, queries)
+            else:
+                pairs = all_vs_all(db.meta)
+
+        with phase_timer("Presence ETL       ", enabled=verbose):
+            presence = db.load_presence()
+        db.close()
+        with phase_timer("JAC + AJI          ", enabled=verbose):
+            result = compute(presence, pairs)
+        with phase_timer("CSV write          ", enabled=verbose):
+            write_aji_csv(
+                args.path_to_output_file, pairs, result.aji, args.separator
+            )
+        if verbose:
+            print(
+                f"Wrote {result.n_pairs} genome-pair AJI values "
+                f"({len(pairs.query_names)} x {len(pairs.target_names)} matrix) "
+                f"to {args.path_to_output_file}"
+            )
+        return 0
+    except PFAAIError as e:
+        print(f"ERROR ({e.code.name}): {e}", file=sys.stderr)
+        return int(e.code)
+
+
+def main() -> None:
+    raise SystemExit(run())
+
+
+if __name__ == "__main__":
+    main()

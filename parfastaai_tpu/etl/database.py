@@ -1,0 +1,290 @@
+"""Host-side ETL: FastAAI SQLite databases -> dense TPU-ready tensors.
+
+TPU-first redesign of the reference's DB layer (include/pfaai/scp_db.hpp,
+include/pfaai/db_helper.hpp).  The reference streams SQLite rows into sparse
+CSR-style arrays (Lc/Lp/F) plus an explicit pair list E; on TPU none of those
+exist in the production path.  Instead we build, per single-copy protein (SCP),
+a dense genome x tetramer presence matrix over a *compacted* tetramer axis —
+only the tetramers that actually occur for that protein get a column (the
+Lc > 0 columns).  Dropping all-zero columns cannot change M @ M.T, and it
+shrinks the MXU contraction axis by ~100x (160,000 -> a few thousand).
+
+Schema (verified live against data/xdb_subset1.db):
+  genome_metadata(genome_name TEXT, genome_id INTEGER PRIMARY KEY, ...)
+  scp_data(genome_id, SCP_acc TEXT, SCP_score REAL, tetra_count INTEGER)
+  '{SCP}_tetras'(tetramer INTEGER PRIMARY KEY, genomes BLOB)   -- int32[] LE
+  '{SCP}_genomes'(genome_id INTEGER PRIMARY KEY, tetramers BLOB) -- int32[] LE
+
+Protein order is the SQLite emission order of
+``SELECT DISTINCT SCP_acc FROM scp_data`` and genome order that of
+``SELECT genome_name FROM genome_metadata`` — identical queries to the
+reference (db_helper.hpp:86,195), run through the same SQLite library, so the
+orders match by construction.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..constants import LANE, NTETRAMERS
+from ..types import DBMetaData, ErrorCode, PFAAIError
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class PresenceData:
+    """Dense per-SCP presence tensors, ready for device upload.
+
+    ``m`` is the (P, G, K) uint8 presence tensor over the compacted tetramer
+    axis (K = padded max per-protein distinct-tetramer count); column j of
+    protein p corresponds to tetramer ``tetramer_ids[p][j]`` (ascending), and
+    columns >= ``widths[p]`` are zero padding.  ``t`` is the (P, G) int32
+    tetramer-count matrix, the reference's T (scp_db.hpp:219-262: blob bytes /
+    4 of the '{SCP}_genomes' rows).
+    """
+
+    meta: DBMetaData
+    m: np.ndarray  # uint8 (P, G, K)
+    t: np.ndarray  # int32 (P, G)
+    widths: np.ndarray  # int32 (P,) valid column count per protein
+    tetramer_ids: list[np.ndarray]  # per protein: int32 (widths[p],) ascending
+
+    @property
+    def n_proteins(self) -> int:
+        return self.m.shape[0]
+
+    @property
+    def n_genomes(self) -> int:
+        return self.m.shape[1]
+
+
+def _connect(path: str) -> sqlite3.Connection:
+    if not os.path.isfile(path):
+        raise PFAAIError(
+            ErrorCode.SQLITE_DB_ERROR, f"Database file not found: {path}"
+        )
+    conn = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    return conn
+
+
+def _genome_set(cur: sqlite3.Cursor, table: str = "genome_metadata") -> tuple[str, ...]:
+    # Same query as reference db_helper.hpp:86 ("SELECT genome_name FROM ...").
+    rows = cur.execute(f"SELECT genome_name FROM {table}").fetchall()
+    return tuple(r[0] for r in rows)
+
+
+def _protein_set(cur: sqlite3.Cursor, table: str = "scp_data") -> tuple[str, ...]:
+    # Same query as reference db_helper.hpp:195 ("SELECT DISTINCT SCP_acc ...").
+    rows = cur.execute(f"SELECT DISTINCT SCP_acc FROM {table}").fetchall()
+    return tuple(r[0] for r in rows)
+
+
+def _blob_to_ids(blob: bytes) -> np.ndarray:
+    return np.frombuffer(blob, dtype="<i4")
+
+
+class SCPDatabase:
+    """Single FastAAI SQLite database accessor (reference SQLiteSCPDataBase,
+    scp_db.hpp:57-263)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.conn = _connect(path)
+        cur = self.conn.cursor()
+        try:
+            proteins = _protein_set(cur)
+            genomes = _genome_set(cur)
+        except sqlite3.Error as e:
+            raise PFAAIError(
+                ErrorCode.SQLITE_DB_ERROR, f"Failed to read metadata from {path}: {e}"
+            )
+        if not proteins or not genomes:
+            raise PFAAIError(
+                ErrorCode.SQLITE_DB_ERROR,
+                f"Database {path} has no proteins or no genomes",
+            )
+        self.meta = DBMetaData(protein_set=proteins, genome_set=genomes)
+
+    def close(self):
+        self.conn.close()
+
+    # -- tensor extraction ---------------------------------------------------
+
+    def load_t_matrix(self) -> np.ndarray:
+        """T[p, g] = number of distinct tetramers of protein p in genome g
+        (reference scp_db.hpp:219-262: length(tetramers) / 4)."""
+        cur = self.conn.cursor()
+        P = len(self.meta.protein_set)
+        G = len(self.meta.genome_set)
+        t = np.zeros((P, G), dtype=np.int32)
+        for p, prot in enumerate(self.meta.protein_set):
+            for gid, nbytes in cur.execute(
+                f"SELECT genome_id, length(tetramers) FROM '{prot}_genomes'"
+            ):
+                t[p, gid] = nbytes // 4
+        return t
+
+    def load_presence(self) -> PresenceData:
+        """Build the compacted presence tensor from the '{SCP}_tetras' tables."""
+        cur = self.conn.cursor()
+        P = len(self.meta.protein_set)
+        G = len(self.meta.genome_set)
+
+        per_protein: list[tuple[np.ndarray, list[np.ndarray]]] = []
+        widths = np.zeros(P, dtype=np.int32)
+        for p, prot in enumerate(self.meta.protein_set):
+            tets: list[int] = []
+            blobs: list[np.ndarray] = []
+            for tet, blob in cur.execute(
+                f"SELECT tetramer, genomes FROM '{prot}_tetras' ORDER BY tetramer"
+            ):
+                tets.append(tet)
+                blobs.append(_blob_to_ids(blob))
+            tet_arr = np.asarray(tets, dtype=np.int32)
+            per_protein.append((tet_arr, blobs))
+            widths[p] = len(tets)
+
+        K = max(LANE, _round_up(int(widths.max()) if P else LANE, LANE))
+        m = np.zeros((P, G, K), dtype=np.uint8)
+        tetramer_ids: list[np.ndarray] = []
+        for p, (tet_arr, blobs) in enumerate(per_protein):
+            tetramer_ids.append(tet_arr)
+            for j, gids in enumerate(blobs):
+                m[p, gids, j] = 1
+
+        return PresenceData(
+            meta=self.meta,
+            m=m,
+            t=self.load_t_matrix(),
+            widths=widths,
+            tetramer_ids=tetramer_ids,
+        )
+
+
+class QueryTargetDatabase:
+    """Two-database accessor: query DB ATTACHed to the target (main) DB
+    (reference QTSQLiteSCPDataBase, scp_db.hpp:267-590).
+
+    The shared genome id space places target genomes at ``[0, |T|)`` and query
+    genomes at ``[|T|, |T|+|Q|)`` (reference scp_db.hpp:353, 519).  The protein
+    set is the inner join of the two DBs' SCP accessions in SQLite DISTINCT
+    emission order (reference db_helper.hpp:110-166).
+    """
+
+    def __init__(self, target_path: str, query_path: str):
+        self.target_path = target_path
+        self.query_path = query_path
+        self.conn = _connect(target_path)
+        if not os.path.isfile(query_path):
+            raise PFAAIError(
+                ErrorCode.SQLITE_DB_ERROR, f"Database file not found: {query_path}"
+            )
+        self.conn.execute("ATTACH DATABASE ? AS QueryDB", (query_path,))
+        cur = self.conn.cursor()
+        # Same join as reference db_helper.hpp:140-143.
+        shared = cur.execute(
+            "SELECT DISTINCT target_table.SCP_acc"
+            "  FROM scp_data as target_table, QueryDB.scp_data as query_table"
+            "  WHERE target_table.SCP_acc = query_table.SCP_acc"
+        ).fetchall()
+        tgt_genomes = _genome_set(cur, "main.genome_metadata")
+        qry_genomes = _genome_set(cur, "QueryDB.genome_metadata")
+        self.meta = DBMetaData(
+            protein_set=tuple(r[0] for r in shared),
+            genome_set=tgt_genomes,
+            query_genome_set=qry_genomes,
+        )
+
+    def close(self):
+        self.conn.close()
+
+    def load_t_matrix(self) -> np.ndarray:
+        """T over the union id space: columns [0,|T|) target, [|T|,...) query
+        (reference scp_db.hpp:531-589)."""
+        cur = self.conn.cursor()
+        P = len(self.meta.protein_set)
+        nt = len(self.meta.genome_set)
+        nq = len(self.meta.query_genome_set)
+        t = np.zeros((P, nt + nq), dtype=np.int32)
+        for p, prot in enumerate(self.meta.protein_set):
+            for gid, nbytes in cur.execute(
+                f"SELECT genome_id, length(tetramers) FROM main.'{prot}_genomes'"
+            ):
+                t[p, gid] = nbytes // 4
+            for gid, nbytes in cur.execute(
+                f"SELECT genome_id, length(tetramers) FROM QueryDB.'{prot}_genomes'"
+            ):
+                t[p, nt + gid] = nbytes // 4
+        return t
+
+    def load_presence(self) -> PresenceData:
+        """Presence over the union id space and the union of both DBs'
+        tetramers per shared protein.
+
+        The reference joins the two '_tetras' tables on tetramer so only
+        tetramers present in *both* DBs enter F/E (scp_db.hpp:402-448); for the
+        query x target intersection counts this is equivalent to taking the
+        column union here, because a tetramer present in only one DB
+        contributes zero to every query x target product.
+        """
+        cur = self.conn.cursor()
+        P = len(self.meta.protein_set)
+        nt = len(self.meta.genome_set)
+        nq = len(self.meta.query_genome_set)
+        G = nt + nq
+
+        rows: list[tuple[np.ndarray, dict[int, tuple[np.ndarray, np.ndarray]]]] = []
+        widths = np.zeros(P, dtype=np.int32)
+        for p, prot in enumerate(self.meta.protein_set):
+            tgt = {
+                tet: _blob_to_ids(blob)
+                for tet, blob in cur.execute(
+                    f"SELECT tetramer, genomes FROM main.'{prot}_tetras'"
+                )
+            }
+            qry = {
+                tet: _blob_to_ids(blob)
+                for tet, blob in cur.execute(
+                    f"SELECT tetramer, genomes FROM QueryDB.'{prot}_tetras'"
+                )
+            }
+            tets = np.asarray(sorted(set(tgt) | set(qry)), dtype=np.int32)
+            rows.append((tets, tgt, qry))
+            widths[p] = len(tets)
+
+        K = max(LANE, _round_up(int(widths.max()) if P else LANE, LANE))
+        m = np.zeros((P, G, K), dtype=np.uint8)
+        tetramer_ids: list[np.ndarray] = []
+        for p, (tets, tgt, qry) in enumerate(rows):
+            tetramer_ids.append(tets)
+            for j, tet in enumerate(tets):
+                tet = int(tet)
+                if tet in tgt:
+                    m[p, tgt[tet], j] = 1
+                if tet in qry:
+                    m[p, nt + qry[tet], j] = 1
+
+        return PresenceData(
+            meta=self.meta,
+            m=m,
+            t=self.load_t_matrix(),
+            widths=widths,
+            tetramer_ids=tetramer_ids,
+        )
+
+
+def validate_tetramer_range(tetramer_ids: list[np.ndarray]) -> None:
+    """Sanity check: every tetramer id must lie in [0, NTETRAMERS)."""
+    for p, tets in enumerate(tetramer_ids):
+        if len(tets) and (tets[0] < 0 or tets[-1] >= NTETRAMERS):
+            raise PFAAIError(
+                ErrorCode.CONSTRUCT_ERROR,
+                f"Protein {p} has tetramer ids outside [0, {NTETRAMERS})",
+            )

@@ -1,0 +1,135 @@
+"""Host-side derivation of the reference's Lc/Lp/F/E arrays — parity tests only.
+
+The TPU production path never materializes these (intersection counts come
+from the presence-matrix Gram matmul), but the reference's golden archives pin
+them down (tests/pfaai_tests.cpp construct_* cases), so we re-derive them
+directly from the SQLite fixtures to prove the ETL reads the same data:
+
+* ``Lc[t]`` = total genome-blob entries for tetramer t across all proteins
+  (reference ds_helper.hpp:82-109 via scp_db.hpp:121-158).
+* ``Lp``    = exclusive prefix sum of Lc (ds_helper.hpp:112-122).
+* ``F``     = (proteinIndex, genomeId) pairs ordered by (tetramer, protein),
+  blob order within (scp_db.hpp:161-216: UNION ALL ... ORDER BY tetramer,
+  source_table).
+* ``E``     = (proteinIndex, genomeA, genomeB) for every valid genome pair in
+  each (tetramer, protein) block of F, sorted by (genomeA, genomeB, protein)
+  (ds_helper.hpp:270-357, psort.hpp:27-53, interface.hpp:103-111).
+
+Two-database variants join the '_tetras' tables on tetramer so only tetramers
+present in both DBs contribute, with target rows first and query genome ids
+offset by |target genomes| (scp_db.hpp:402-528).
+"""
+
+from __future__ import annotations
+
+import sqlite3
+from itertools import combinations
+
+import numpy as np
+
+from ..constants import NTETRAMERS
+from .database import QueryTargetDatabase, SCPDatabase, _blob_to_ids
+
+
+def _f_rows_single(db: SCPDatabase) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
+    """Per (tetramer, protein) block: tetramer ids, protein ids, genome blobs,
+    ordered by (tetramer, protein)."""
+    cur = db.conn.cursor()
+    tets, prots, blobs = [], [], []
+    for p, prot in enumerate(db.meta.protein_set):
+        for tet, blob in cur.execute(
+            f"SELECT tetramer, genomes FROM '{prot}_tetras'"
+        ):
+            tets.append(tet)
+            prots.append(p)
+            blobs.append(_blob_to_ids(blob))
+    tets = np.asarray(tets, dtype=np.int64)
+    prots = np.asarray(prots, dtype=np.int64)
+    order = np.lexsort((prots, tets))  # by tetramer, then protein; stable
+    return tets[order], prots[order], [blobs[i] for i in order]
+
+
+def derive_single(db: SCPDatabase):
+    """(Lc, Lp, F, E) for a single database, all-vs-all pair semantics."""
+    tets, prots, blobs = _f_rows_single(db)
+    sizes = np.asarray([len(b) for b in blobs], dtype=np.int64)
+
+    lc = np.zeros(NTETRAMERS, dtype=np.int32)
+    np.add.at(lc, tets, sizes.astype(np.int32))
+    lp = np.zeros(NTETRAMERS, dtype=np.int32)
+    np.cumsum(lc[:-1], out=lp[1:])
+
+    f = np.empty((int(sizes.sum()), 2), dtype=np.int32)
+    e_parts = []
+    off = 0
+    for tet, p, gids in zip(tets, prots, blobs):
+        n = len(gids)
+        f[off : off + n, 0] = p
+        f[off : off + n, 1] = gids
+        off += n
+        # all-vs-all: every (a, b) with a < b (ds_impl.hpp isValidPair a<b);
+        # blobs are genome-id sorted, so index order == id order.
+        if n > 1:
+            pairs = np.fromiter(
+                (x for ab in combinations(sorted(gids.tolist()), 2) for x in ab),
+                dtype=np.int32,
+            ).reshape(-1, 2)
+            block = np.empty((len(pairs), 3), dtype=np.int32)
+            block[:, 0] = p
+            block[:, 1:] = pairs
+            e_parts.append(block)
+    e = (
+        np.concatenate(e_parts)
+        if e_parts
+        else np.empty((0, 3), dtype=np.int32)
+    )
+    order = np.lexsort((e[:, 0], e[:, 2], e[:, 1]))  # (genomeA, genomeB, protein)
+    return lc, lp, f, e[order]
+
+
+def derive_qt(db: QueryTargetDatabase):
+    """(Lc, Lp, F, E) for the two-database mode.
+
+    F rows exist only for tetramers present in both DBs for a protein; each
+    row lists target genome ids then query ids offset by |targets|
+    (scp_db.hpp:450-528).  E pairs are (query, target) only
+    (ds_impl.hpp:421-423).
+    """
+    cur = db.conn.cursor()
+    nt = len(db.meta.genome_set)
+    rows = []  # (tet, p, tgt_ids, qry_ids)
+    for p, prot in enumerate(db.meta.protein_set):
+        tgt = dict(
+            cur.execute(f"SELECT tetramer, genomes FROM main.'{prot}_tetras'")
+        )
+        qry = dict(
+            cur.execute(f"SELECT tetramer, genomes FROM QueryDB.'{prot}_tetras'")
+        )
+        for tet in set(tgt) & set(qry):
+            rows.append((tet, p, _blob_to_ids(tgt[tet]), _blob_to_ids(qry[tet])))
+    rows.sort(key=lambda r: (r[0], r[1]))
+
+    lc = np.zeros(NTETRAMERS, dtype=np.int32)
+    f_parts, e_parts = [], []
+    for tet, p, tgids, qgids in rows:
+        lc[tet] += len(tgids) + len(qgids)
+        fb = np.empty((len(tgids) + len(qgids), 2), dtype=np.int32)
+        fb[:, 0] = p
+        fb[: len(tgids), 1] = tgids
+        fb[len(tgids) :, 1] = nt + qgids
+        f_parts.append(fb)
+        # E: genomeA = query (offset id), genomeB = target.
+        qq = np.repeat(nt + qgids, len(tgids))
+        tt = np.tile(tgids, len(qgids))
+        eb = np.empty((len(qq), 3), dtype=np.int32)
+        eb[:, 0] = p
+        eb[:, 1] = qq
+        eb[:, 2] = tt
+        e_parts.append(eb)
+
+    lp = np.zeros(NTETRAMERS, dtype=np.int32)
+    np.cumsum(lc[:-1], out=lp[1:])
+    f = np.concatenate(f_parts) if f_parts else np.empty((0, 2), dtype=np.int32)
+    e = np.concatenate(e_parts) if e_parts else np.empty((0, 3), dtype=np.int32)
+    order = np.lexsort((e[:, 0], e[:, 2], e[:, 1]))
+    return lc, lp, f, e[order]

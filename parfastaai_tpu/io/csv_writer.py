@@ -1,0 +1,43 @@
+"""AJI CSV writer, byte-compatible with the reference's printOutput
+(src/main.cpp:133-175).
+
+Builds the dense |Q| x |T| matrix initialized to 0.0, scatters each pair's AJI
+to (row, col) — and to the mirror cell when the mode defines one — then writes
+a header row of target names and one row per query genome, all values
+formatted with fmt-compatible shortest-round-trip doubles (io/fmtfloat.py).
+Untouched cells (including the diagonal) print ``0``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import DEFAULT_SEPARATOR
+from ..modes import PairSpace
+from .fmtfloat import format_double
+
+
+def aji_matrix(pairs: PairSpace, aji: np.ndarray) -> np.ndarray:
+    mat = np.zeros((len(pairs.query_names), len(pairs.target_names)), dtype=np.float64)
+    mat[pairs.out_row, pairs.out_col] = aji
+    has_mirror = pairs.mirror_row >= 0
+    mat[pairs.mirror_row[has_mirror], pairs.mirror_col[has_mirror]] = aji[has_mirror]
+    return mat
+
+
+def write_aji_csv(
+    path: str,
+    pairs: PairSpace,
+    aji: np.ndarray,
+    separator: str = DEFAULT_SEPARATOR,
+) -> None:
+    mat = aji_matrix(pairs, aji)
+    with open(path, "w") as fp:
+        fp.write(separator + separator.join(pairs.target_names) + "\n")
+        for i, name in enumerate(pairs.query_names):
+            fp.write(
+                name
+                + separator
+                + separator.join(format_double(v) for v in mat[i])
+                + "\n"
+            )

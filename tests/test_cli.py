@@ -1,0 +1,69 @@
+"""CLI end-to-end: mode dispatch, output files, error paths
+(mirrors the reference smoke script tests/run_tests.sh)."""
+
+import numpy as np
+
+from parfastaai_tpu.cli import run
+from parfastaai_tpu.etl import goldens
+
+
+def test_all_vs_all_cli(data_dir, tmp_path):
+    out = tmp_path / "out.csv"
+    rc = run([f"{data_dir}/xdb_subset1.db", str(out), "--quiet"])
+    assert rc == 0
+    ref = open(f"{data_dir}/xdb_subset1_aji_matrix_wheader.csv", "rb").read()
+    assert out.read_bytes() == ref
+
+
+def test_qt_cli(data_dir, tmp_path):
+    out = tmp_path / "qt.csv"
+    rc = run(
+        [
+            f"{data_dir}/xdb_subset1.db",
+            str(out),
+            "-r",
+            f"{data_dir}/xdb_subset2.db",
+            "--quiet",
+        ]
+    )
+    assert rc == 0
+    # 4 query rows x 4 target cols; values match the QT AJI golden.
+    lines = out.read_text().splitlines()
+    assert len(lines) == 5
+    aji = goldens.read_f64_vector(f"{data_dir}/xdb_qt_aji.bin")
+    got = np.array(
+        [float(v) for line in lines[1:] for v in line.split(",")[1:]]
+    )
+    np.testing.assert_array_equal(got, aji)
+
+
+def test_qsub_cli(data_dir, tmp_path, combo12_db):
+    from parfastaai_tpu.etl.database import SCPDatabase
+
+    db = SCPDatabase(combo12_db)
+    names = db.meta.genome_set[:3]
+    db.close()
+    qfile = tmp_path / "q.txt"
+    qfile.write_text("\n".join(names) + "\n")
+    out = tmp_path / "qs.csv"
+    rc = run([combo12_db, str(out), "-q", str(qfile), "--quiet"])
+    assert rc == 0
+    lines = out.read_text().splitlines()
+    assert len(lines) == 1 + 3  # header + one row per query genome
+    assert lines[1].split(",")[0] == names[0]
+
+
+def test_bad_query_list_cli(data_dir, tmp_path, combo12_db, capsys):
+    qfile = tmp_path / "bad.txt"
+    qfile.write_text("definitely_not_a_genome\n")
+    out = tmp_path / "x.csv"
+    rc = run([combo12_db, str(out), "-q", str(qfile), "--quiet"])
+    assert rc != 0
+    assert not out.exists()
+
+
+def test_separator_flag(data_dir, tmp_path):
+    out = tmp_path / "tab.csv"
+    rc = run([f"{data_dir}/xdb_subset1.db", str(out), "-s", "\t", "--quiet"])
+    assert rc == 0
+    assert "\t" in out.read_text().splitlines()[0]
