@@ -1,0 +1,99 @@
+"""Benchmark: fused AJI throughput (genome-pairs/sec/chip).
+
+Workload statistics match the measured reference baseline
+(BASELINE_MEASURED.json): P=80 proteins, each genome carrying ~400 of a
+1200-tetramer per-protein pool (compacted presence width K=1280), the same
+generator family as parfastaai_tpu/tools/synth_db.py — on which the rebuilt
+OpenMP reference achieves 133.1 pairs/s on this host (2 threads) and our
+exact CLI path is byte-identical to the reference binary's CSV.
+
+Timing protocol: this environment's TPU relay acks block_until_ready without
+waiting for device completion, and device->host transfers have large variable
+latency.  So we (a) chain iterations *data-dependently* inside one jitted
+lax.scan (each step flips presence bits based on the previous step's result —
+nothing can be elided or overlapped away), (b) force completion with a single
+4-byte scalar download, and (c) report the SLOPE between a short and a long
+chain, cancelling the constant download/dispatch cost.  Prints exactly one
+JSON line.
+
+Env knobs: PARFASTAAI_BENCH_G (default 1024), PARFASTAAI_BENCH_IMPL
+(xla | pallas, default xla), PARFASTAAI_BENCH_STEPS (long-chain length,
+default 256).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_PAIRS_PER_SEC = 133.1  # BASELINE_MEASURED.json
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    g = int(os.environ.get("PARFASTAAI_BENCH_G", "1024"))
+    s_long = int(os.environ.get("PARFASTAAI_BENCH_STEPS", "128"))
+    s_short = max(4, s_long // 8)
+    impl = os.environ.get("PARFASTAAI_BENCH_IMPL", "pallas")
+    P, pool, tpg = 80, 1280, 400  # pool padded 1200 -> 1280 (lane multiple)
+
+    rng = np.random.default_rng(0)
+    m = (rng.random((P, g, pool)) < (tpg / pool)).astype(np.int8)
+    t = m.sum(axis=2, dtype=np.int32)
+
+    if impl == "pallas":
+        from parfastaai_tpu.ops.pallas_intersect import pallas_fused_aji as fn
+    else:
+        from parfastaai_tpu.ops.fused import fused_aji as fn
+
+    md = jax.device_put(jnp.asarray(m))
+    td = jax.device_put(jnp.asarray(t))
+
+    @functools.partial(jax.jit, static_argnames="steps")
+    def chain(md, td, steps):
+        def body(carry, _):
+            mdl, tdl = carry
+            aji, s, n = fn(mdl, tdl)
+            # Data dependency: perturb the presence tensor with the result.
+            mdl = mdl ^ (n[0, :] % 2).astype(jnp.int8)[None, :, None]
+            return (mdl, tdl), aji[0, 0]
+
+        (_, _), outs = jax.lax.scan(body, (md, td), None, length=steps)
+        return outs[-1]
+
+    def timed(steps: int) -> float:
+        float(chain(md, td, steps=steps))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(chain(md, td, steps=steps))  # scalar download = real sync
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = timed(s_long) - timed(s_short)
+    per_iter = dt / (s_long - s_short)
+    pairs = g * (g - 1) // 2
+    pairs_per_sec = pairs / per_iter
+    print(
+        json.dumps(
+            {
+                "metric": "genome-pairs/sec/chip (fused AJI, G=%d P=%d K=%d, impl=%s)"
+                % (g, P, pool, impl),
+                "value": round(pairs_per_sec, 1),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -15,7 +15,7 @@ import os
 import sys
 
 from . import __version__
-from .engine import compute
+from .engine import compute, compute_fast
 from .etl.database import QueryTargetDatabase, SCPDatabase
 from .io.csv_writer import write_aji_csv
 from .modes import all_vs_all, query_subset, query_target
@@ -54,6 +54,15 @@ def build_parser() -> argparse.ArgumentParser:
             "Disable replication of the reference's swapped T-column read in "
             "two-database mode (see modes.query_target); changes two-database "
             "results away from reference parity"
+        ),
+    )
+    p.add_argument(
+        "--fast",
+        action="store_true",
+        help=(
+            "Fused on-device f32 pipeline (production screening): ~1e-7 "
+            "relative error vs the default exact/bit-parity path, far less "
+            "host traffic"
         ),
     )
     p.add_argument("--quiet", action="store_true", help="Suppress phase timing output")
@@ -103,7 +112,10 @@ def run(argv: list[str] | None = None) -> int:
             presence = db.load_presence()
         db.close()
         with phase_timer("JAC + AJI          ", enabled=verbose):
-            result = compute(presence, pairs)
+            if args.fast:
+                result = compute_fast(presence, pairs)
+            else:
+                result = compute(presence, pairs)
         with phase_timer("CSV write          ", enabled=verbose):
             write_aji_csv(
                 args.path_to_output_file, pairs, result.aji, args.separator

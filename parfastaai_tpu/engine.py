@@ -8,29 +8,38 @@ algorithm_impl.hpp:222-329).  The per-pair, per-protein Jaccard is
     N(A, B)   = count of such proteins
     AJI(A, B) = S / N                                   (NaN when N == 0)
 
-Intersection counts are integers and computed exactly on device (MXU int8
-matmul, ops/intersect.py).  The S accumulation is O(|P|) ~ 80 flops per pair
-and must match the reference's sequential f64 operation order bit-for-bit
-(tests require exact double equality on AJI, tests/pfaai_tests.cpp:355-454),
-so the finish runs on host in f64 with a sequential ascending-protein loop —
-vectorized across pairs, sequential across proteins, exactly the reference's
-E-block walk order (E sorted by (G_A, G_B, proteinIndex), interface.hpp:103).
+Two paths:
+
+* ``compute`` (exact, CLI default): intersection counts are integers and
+  computed exactly on device (MXU int8 matmul); the (P, n_pairs) count matrix
+  is the *single* device->host transfer (int16 when counts fit), and the
+  O(|P|) ~ 80-flop-per-pair finish runs on host in f64 with a sequential
+  ascending-protein loop — vectorized across pairs, sequential across
+  proteins, exactly the reference's E-block walk order (E sorted by
+  (G_A, G_B, proteinIndex), interface.hpp:103), satisfying the tests'
+  bit-for-bit double equality (tests/pfaai_tests.cpp:355-454).
+
+* ``compute_fast`` (production screening): the whole pipeline fused on device
+  in f32 (ops/fused.py or the Pallas kernel), transferring only per-pair
+  results.  ~1e-7 relative error vs exact; orders of magnitude less host
+  traffic.
 """
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 from .etl.database import PresenceData
 from .modes import PairSpace
-from .ops.intersect import pair_counts
+from .ops.fused import fused_aji, pair_counts_device
 from .types import JacResult
 
 
 def jaccard_finish(
-    counts: np.ndarray,  # int32 (P, n_pairs)
-    denom_ta: np.ndarray,  # int32 (P, n_pairs) — T[p, denom_a]
-    denom_tb: np.ndarray,  # int32 (P, n_pairs) — T[p, denom_b]
+    counts: np.ndarray,  # integer (P, n_pairs)
+    denom_ta: np.ndarray,  # int (P, n_pairs) — T[p, denom_a]
+    denom_tb: np.ndarray,  # int (P, n_pairs) — T[p, denom_b]
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sequential ascending-protein f64 accumulation of (S, N) per pair."""
     P, n = counts.shape
@@ -49,8 +58,18 @@ def jaccard_finish(
 
 
 def compute(presence: PresenceData, pairs: PairSpace) -> JacResult:
-    """Run the engine over one pair space and return the JAC/AJI columns."""
-    counts = pair_counts(presence.m, pairs.db_a, pairs.db_b)
+    """Exact path: device integer counts, host f64 finish (bit-parity)."""
+    # Counts are bounded by max(T); use int16 when safe to halve the one
+    # device->host transfer.
+    out_dtype = jnp.int16 if int(presence.t.max()) < 2**15 else jnp.int32
+    counts = np.asarray(
+        pair_counts_device(
+            jnp.asarray(presence.m),
+            jnp.asarray(pairs.db_a),
+            jnp.asarray(pairs.db_b),
+            out_dtype=out_dtype,
+        )
+    )
     t = presence.t.astype(np.int64)
     s, n = jaccard_finish(counts, t[:, pairs.denom_a], t[:, pairs.denom_b])
     return JacResult(
@@ -58,4 +77,50 @@ def compute(presence: PresenceData, pairs: PairSpace) -> JacResult:
         genome_b=pairs.jac_b.astype(np.int32),
         s=s,
         n=n,
+    )
+
+
+def compute_fast(
+    presence: PresenceData, pairs: PairSpace, use_pallas: bool = False
+) -> JacResult:
+    """Fused f32 device path; per-pair gather on device, minimal transfer.
+
+    Note: in two-database compat mode the reference's swapped T columns
+    (modes.query_target) differ from the presence-tensor columns, so the
+    fused kernel's denominator (always db-id based) would diverge; this path
+    therefore recomputes J from the *exact device counts* only when
+    denom != db ids.  For all-vs-all / query-subset, denom == db ids and the
+    fully fused path applies.
+    """
+    md = jnp.asarray(presence.m)
+    td = jnp.asarray(presence.t)
+    if np.array_equal(pairs.denom_a, pairs.db_a) and np.array_equal(
+        pairs.denom_b, pairs.db_b
+    ):
+        if use_pallas:
+            from .ops.pallas_intersect import pallas_fused_aji
+
+            _, s_mat, n_mat = pallas_fused_aji(md, td)
+        else:
+            _, s_mat, n_mat = fused_aji(md, td)
+        a = jnp.asarray(pairs.db_a)
+        b = jnp.asarray(pairs.db_b)
+        s = np.asarray(s_mat[a, b], dtype=np.float64)
+        n = np.asarray(n_mat[a, b])
+    else:
+        counts = np.asarray(
+            pair_counts_device(
+                md, jnp.asarray(pairs.db_a), jnp.asarray(pairs.db_b)
+            )
+        )
+        t = presence.t.astype(np.int64)
+        s64, n = jaccard_finish(
+            counts, t[:, pairs.denom_a], t[:, pairs.denom_b]
+        )
+        s = s64
+    return JacResult(
+        genome_a=pairs.jac_a.astype(np.int32),
+        genome_b=pairs.jac_b.astype(np.int32),
+        s=np.asarray(s, dtype=np.float64),
+        n=np.asarray(n, dtype=np.int32),
     )

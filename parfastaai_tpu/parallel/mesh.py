@@ -1,0 +1,105 @@
+"""Multi-chip sharding of the fused AJI pipeline.
+
+The reference's only parallelism is OpenMP threads over shared memory
+(SURVEY §2.3); the TPU-native equivalent is an SPMD mesh with two axes:
+
+* ``rows`` — data parallelism over genome row bands: each device owns a band
+  of output rows (the pair-tile scheduler axis; replaces the reference's
+  near-equal genome-pair split, algorithm_impl.hpp:100-120).
+* ``scp``  — model-style sharding of the protein axis: each device holds a
+  slice of the presence tensor (for when P * G * K exceeds one HBM) and
+  partial (S, N) accumulators are reduced with ``psum`` over ICI (replaces
+  the reference's shared-memory accumulation; there is nothing to sort or
+  merge because counts are produced in place).
+
+All collectives are XLA psum over the mesh — on hardware they ride ICI
+within a slice and DCN across hosts via jax.distributed, with no code
+change here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_rows: int, n_scp: int = 1, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    n = n_rows * n_scp
+    if len(devices) < n:
+        raise ValueError(f"Need {n} devices, have {len(devices)}")
+    dev = np.asarray(devices[:n]).reshape(n_rows, n_scp)
+    return Mesh(dev, axis_names=("rows", "scp"))
+
+
+def _body(m_loc: jax.Array, t_loc: jax.Array, *, band: int):
+    """Per-device program: local protein slice x full genome axis.
+
+    m_loc: (P/scp, G, K) int8 — protein-sharded, genome-replicated.
+    Computes this device's row band against all genomes, then psums the
+    partial (S, N) over the protein shards.
+    """
+    r = jax.lax.axis_index("rows")
+    ma = jax.lax.dynamic_slice_in_dim(m_loc, r * band, band, axis=1)
+    ta = jax.lax.dynamic_slice_in_dim(t_loc, r * band, band, axis=1)
+
+    def step(carry, inputs):
+        s, n = carry
+        mp_a, mp, tp_a, tp = inputs
+        cnt = jax.lax.dot_general(
+            mp_a, mp, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        shared = cnt > 0
+        denom = (tp_a[:, None] + tp[None, :] - cnt).astype(jnp.float32)
+        j = jnp.where(shared, cnt.astype(jnp.float32) / denom, 0.0)
+        return (s + j, n + shared.astype(jnp.int32)), None
+
+    g = m_loc.shape[1]
+    # The carry varies over the mesh axes (each device accumulates its own
+    # band); mark the initial value accordingly for shard_map's vma typing.
+    init = jax.lax.pcast(
+        (jnp.zeros((band, g), jnp.float32), jnp.zeros((band, g), jnp.int32)),
+        ("rows", "scp"),
+        to="varying",
+    )
+    (s, n), _ = jax.lax.scan(
+        step, init, (ma.astype(jnp.int8), m_loc.astype(jnp.int8), ta, t_loc)
+    )
+    s = jax.lax.psum(s, "scp")
+    n = jax.lax.psum(n, "scp")
+    aji = s / n.astype(jnp.float32)
+    return aji, s, n
+
+
+def sharded_fused_aji(mesh: Mesh, m, t):
+    """Fused AJI over a (rows, scp) mesh.
+
+    Args:
+      m: (P, G, K) presence tensor; P divisible by mesh scp size, G by rows
+         size (pad with zero genomes / empty proteins as needed).
+      t: (P, G) int32.
+
+    Returns (aji, s, n), each (G, G), row-sharded over the mesh.
+    """
+    n_rows = mesh.shape["rows"]
+    g = m.shape[1]
+    if g % n_rows or m.shape[0] % mesh.shape["scp"]:
+        raise ValueError(
+            f"shape {m.shape} not divisible by mesh {dict(mesh.shape)}"
+        )
+    band = g // n_rows
+    fn = shard_map(
+        partial(_body, band=band),
+        mesh=mesh,
+        in_specs=(P("scp", None, None), P("scp", None)),
+        out_specs=(P("rows", None), P("rows", None), P("rows", None)),
+    )
+    m = jax.device_put(m, NamedSharding(mesh, P("scp", None, None)))
+    t = jax.device_put(t, NamedSharding(mesh, P("scp", None)))
+    return jax.jit(fn)(m, t)

@@ -1,0 +1,89 @@
+"""Fused device paths: XLA scan, Pallas kernel (interpret mode on CPU), and
+the fast engine path, all cross-checked against the exact engine."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parfastaai_tpu.engine import compute, compute_fast
+from parfastaai_tpu.etl.database import SCPDatabase
+from parfastaai_tpu.modes import all_vs_all
+from parfastaai_tpu.ops.fused import fused_aji, pair_counts_device
+
+
+@pytest.fixture(scope="module")
+def subset1(subset1_db):
+    db = SCPDatabase(subset1_db)
+    pres = db.load_presence()
+    db.close()
+    return db.meta, pres
+
+
+def _rand_presence(P=5, G=12, K=256, density=0.2, seed=0):
+    rng = np.random.default_rng(seed)
+    m = (rng.random((P, G, K)) < density).astype(np.uint8)
+    t = m.sum(axis=2, dtype=np.int32)
+    return m, t
+
+
+def test_pair_counts_device_matches_numpy():
+    m, _ = _rand_presence()
+    a, b = np.triu_indices(12, k=1)
+    got = np.asarray(
+        pair_counts_device(
+            jnp.asarray(m), jnp.asarray(a.astype(np.int32)), jnp.asarray(b.astype(np.int32))
+        )
+    )
+    want = np.einsum("pak,pbk->pab", m.astype(np.int64), m.astype(np.int64))[
+        :, a, b
+    ]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_aji_matches_exact(subset1):
+    meta, pres = subset1
+    pairs = all_vs_all(meta)
+    exact = compute(pres, pairs)
+    aji, s, n = fused_aji(jnp.asarray(pres.m), jnp.asarray(pres.t))
+    aji = np.asarray(aji)
+    n = np.asarray(n)
+    got = aji[pairs.db_a, pairs.db_b]
+    np.testing.assert_array_equal(n[pairs.db_a, pairs.db_b], exact.n)
+    np.testing.assert_allclose(got, exact.aji, rtol=1e-6)
+    # Symmetry and self-similarity.
+    np.testing.assert_array_equal(aji, aji.T)
+    np.testing.assert_allclose(np.diag(aji), 1.0, rtol=1e-6)
+
+
+def test_compute_fast_matches_exact(subset1):
+    meta, pres = subset1
+    pairs = all_vs_all(meta)
+    exact = compute(pres, pairs)
+    fast = compute_fast(pres, pairs)
+    np.testing.assert_array_equal(fast.n, exact.n)
+    np.testing.assert_allclose(fast.aji, exact.aji, rtol=1e-6)
+
+
+def test_pallas_kernel_interpret_mode():
+    """Run the Pallas kernel in interpreter mode on CPU and cross-check
+    against the XLA fused path (padding path included: G=12 -> 128)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from parfastaai_tpu.ops.pallas_intersect import pallas_fused_aji
+
+    m, t = _rand_presence(P=3, G=12, K=256, seed=1)
+    ref_aji, ref_s, ref_n = fused_aji(jnp.asarray(m), jnp.asarray(t))
+    with pltpu.force_tpu_interpret_mode():
+        aji, s, n = pallas_fused_aji(jnp.asarray(m), jnp.asarray(t))
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(aji), np.asarray(ref_aji), rtol=1e-6)
+
+
+def test_pallas_rejects_oversized_k():
+    from parfastaai_tpu.ops.pallas_intersect import pallas_fused_aji
+
+    m = jnp.zeros((1, 8, 65536), jnp.int8)
+    t = jnp.zeros((1, 8), jnp.int32)
+    with pytest.raises(ValueError):
+        pallas_fused_aji(m, t)
