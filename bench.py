@@ -16,9 +16,9 @@ nothing can be elided or overlapped away), (b) force completion with a single
 chain, cancelling the constant download/dispatch cost.  Prints exactly one
 JSON line.
 
-Env knobs: PARFASTAAI_BENCH_G (default 1024), PARFASTAAI_BENCH_IMPL
-(xla | pallas, default xla), PARFASTAAI_BENCH_STEPS (long-chain length,
-default 256).
+Env knobs: PARFASTAAI_BENCH_G (default 2048), PARFASTAAI_BENCH_IMPL
+(xla | pallas, default pallas), PARFASTAAI_BENCH_STEPS (long-chain length,
+default 64).
 """
 
 from __future__ import annotations
@@ -38,8 +38,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    g = int(os.environ.get("PARFASTAAI_BENCH_G", "1024"))
-    s_long = int(os.environ.get("PARFASTAAI_BENCH_STEPS", "128"))
+    g = int(os.environ.get("PARFASTAAI_BENCH_G", "2048"))
+    s_long = int(os.environ.get("PARFASTAAI_BENCH_STEPS", "64"))
     s_short = max(4, s_long // 8)
     impl = os.environ.get("PARFASTAAI_BENCH_IMPL", "pallas")
     P, pool, tpg = 80, 1280, 400  # pool padded 1200 -> 1280 (lane multiple)

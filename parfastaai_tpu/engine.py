@@ -27,12 +27,14 @@ Two paths:
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax.numpy as jnp
 import numpy as np
 
 from .etl.database import PresenceData
 from .modes import PairSpace
-from .ops.fused import fused_aji, pair_counts_device
+from .ops.fused import fused_aji, fused_sn_block, pair_counts_device
 from .types import JacResult
 
 
@@ -57,19 +59,44 @@ def jaccard_finish(
     return s, nacc
 
 
+# Below this many MACs (P * G^2 * K) the whole problem is host-trivial and a
+# device round-trip costs far more than it saves (this environment's TPU relay
+# adds seconds-to-minutes of dispatch latency on cold shapes).
+HOST_WORK_LIMIT = int(4e9)
+
+
+def _pair_counts_host(
+    m: np.ndarray, db_a: np.ndarray, db_b: np.ndarray
+) -> np.ndarray:
+    """Exact counts on host via BLAS f64 batched matmul (exact: counts <= K
+    << 2^53)."""
+    mf = m.astype(np.float64)
+    cnt = mf @ mf.transpose(0, 2, 1)
+    return np.rint(cnt[:, db_a, db_b]).astype(np.int32)
+
+
 def compute(presence: PresenceData, pairs: PairSpace) -> JacResult:
-    """Exact path: device integer counts, host f64 finish (bit-parity)."""
-    # Counts are bounded by max(T); use int16 when safe to halve the one
-    # device->host transfer.
-    out_dtype = jnp.int16 if int(presence.t.max()) < 2**15 else jnp.int32
-    counts = np.asarray(
-        pair_counts_device(
-            jnp.asarray(presence.m),
-            jnp.asarray(pairs.db_a),
-            jnp.asarray(pairs.db_b),
-            out_dtype=out_dtype,
+    """Exact path: integer intersection counts + host f64 finish (bit-parity).
+
+    Counts come from the MXU int8 Gram matmul — or, for parity-scale inputs
+    under HOST_WORK_LIMIT MACs, the identical computation on host BLAS
+    (integer counts are exact on any backend, so the results are
+    indistinguishable)."""
+    P, G, K = presence.m.shape
+    if P * G * G * K <= HOST_WORK_LIMIT:
+        counts = _pair_counts_host(presence.m, pairs.db_a, pairs.db_b)
+    else:
+        # Counts are bounded by max(T); use int16 when safe to halve the one
+        # device->host transfer.
+        out_dtype = jnp.int16 if int(presence.t.max()) < 2**15 else jnp.int32
+        counts = np.asarray(
+            pair_counts_device(
+                jnp.asarray(presence.m),
+                jnp.asarray(pairs.db_a),
+                jnp.asarray(pairs.db_b),
+                out_dtype=out_dtype,
+            )
         )
-    )
     t = presence.t.astype(np.int64)
     s, n = jaccard_finish(counts, t[:, pairs.denom_a], t[:, pairs.denom_b])
     return JacResult(
@@ -78,6 +105,88 @@ def compute(presence: PresenceData, pairs: PairSpace) -> JacResult:
         s=s,
         n=n,
     )
+
+
+def compute_streamed(
+    presence: PresenceData,
+    row_ids: np.ndarray,
+    col_ids: np.ndarray,
+    out_path: str,
+    row_names: tuple[str, ...],
+    col_names: tuple[str, ...],
+    separator: str = ",",
+    band: int = 1024,
+    col_chunk: int = 4096,
+) -> None:
+    """Memory-bounded production path: AJI straight to CSV in row bands.
+
+    For genome counts where the (G, G) result or the (P, n_pairs) count
+    matrix no longer fits (G ~ 10^5 => 5 * 10^9 pairs), neither the exact
+    engine nor the fused full-matrix kernels apply.  This path walks the
+    output in (band x col_chunk) blocks — each block is one fused-device call
+    (ops/fused.fused_sn_block) and one small transfer — so host and device
+    memory stay O(P*G*K + band*G) regardless of G, and the CSV is written
+    incrementally in row order (reference layout, src/main.cpp:133-175:
+    header of column names, one row per row genome, same-genome cells 0).
+
+    f32 on device (~1e-7 relative error, like compute_fast); denominators use
+    the true DB id columns — the two-database compat T-swap
+    (modes.query_target) is a parity-path-only behavior.
+
+    Args:
+      row_ids / col_ids: presence-tensor genome indices of the CSV rows /
+        columns, in output order.
+      band / col_chunk: block shape; G is processed in ceil-divided blocks
+        with zero-genome padding (padded entries never reach the CSV).
+    """
+    import jax
+
+    from .io.fmtfloat import format_double
+
+    row_ids = np.asarray(row_ids, dtype=np.int32)
+    col_ids = np.asarray(col_ids, dtype=np.int32)
+    band = min(band, len(row_ids))
+    col_chunk = min(col_chunk, len(col_ids))
+
+    md = jnp.asarray(presence.m)
+    td = jnp.asarray(presence.t)
+
+    @partial(jax.jit, static_argnames=("nb", "nc"))
+    def block(md, td, rids, cids, nb, nc):
+        ma = jnp.take(md, rids, axis=1)
+        mb = jnp.take(md, cids, axis=1)
+        ta = jnp.take(td, rids, axis=1)
+        tb = jnp.take(td, cids, axis=1)
+        s, n = fused_sn_block(ma, mb, ta, tb)
+        return s / n.astype(jnp.float32), n
+
+    with open(out_path, "w") as fp:
+        fp.write(separator + separator.join(col_names) + "\n")
+        for r0 in range(0, len(row_ids), band):
+            rids = row_ids[r0 : r0 + band]
+            pad_r = band - len(rids)
+            rpad = np.pad(rids, (0, pad_r))
+            rows_aji = np.zeros((len(rids), len(col_ids)), dtype=np.float32)
+            for c0 in range(0, len(col_ids), col_chunk):
+                cids = col_ids[c0 : c0 + col_chunk]
+                pad_c = col_chunk - len(cids)
+                cpad = np.pad(cids, (0, pad_c))
+                aji, n = block(
+                    md, td, jnp.asarray(rpad), jnp.asarray(cpad), band, col_chunk
+                )
+                blk = np.array(aji[: len(rids), : len(cids)])
+                nblk = np.asarray(n[: len(rids), : len(cids)])
+                blk[nblk == 0] = 0.0  # no shared protein => untouched cell
+                rows_aji[:, c0 : c0 + len(cids)] = blk
+            # Reference leaves same-genome cells untouched => 0.
+            rows_aji[rids[:, None] == col_ids[None, :]] = 0.0
+            for i, rid in enumerate(rids):
+                fp.write(
+                    row_names[r0 + i]
+                    + separator
+                    + separator.join(format_double(v) for v in rows_aji[i])
+                    + "\n"
+                )
 
 
 def compute_fast(

@@ -59,6 +59,37 @@ def fused_aji(m: jax.Array, t: jax.Array) -> tuple[jax.Array, jax.Array, jax.Arr
     return aji, s, n
 
 
+@jax.jit
+def fused_sn_block(
+    ma: jax.Array, mb: jax.Array, ta: jax.Array, tb: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Rectangular fused (S, N) block: genomes-A band vs genomes-B band.
+
+    ma: (P, A, K) int8, mb: (P, B, K) int8, ta: (P, A), tb: (P, B) int32.
+    Returns (s f32 (A, B), n int32 (A, B)).  The building block of the
+    streaming large-G scheduler (engine.compute_streamed) — each output band
+    is O(A * B) while HBM holds only the two presence bands.
+    """
+
+    def step(carry, inputs):
+        s, n = carry
+        mpa, mpb, tpa, tpb = inputs
+        cnt = jax.lax.dot_general(
+            mpa, mpb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        shared = cnt > 0
+        denom = (tpa[:, None] + tpb[None, :] - cnt).astype(jnp.float32)
+        j = jnp.where(shared, cnt.astype(jnp.float32) / denom, 0.0)
+        return (s + j, n + shared.astype(jnp.int32)), None
+
+    a, b = ma.shape[1], mb.shape[1]
+    init = (jnp.zeros((a, b), jnp.float32), jnp.zeros((a, b), jnp.int32))
+    (s, n), _ = jax.lax.scan(
+        step, init, (ma.astype(jnp.int8), mb.astype(jnp.int8), ta, tb)
+    )
+    return s, n
+
+
 @partial(jax.jit, static_argnames=("out_dtype",))
 def pair_counts_device(
     m: jax.Array,

@@ -19,6 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -83,34 +84,129 @@ def _pallas_sn(m: jax.Array, t: jax.Array, tile: int) -> tuple[jax.Array, jax.Ar
     return s, n
 
 
+def _sym_kernel(rows_ref, cols_ref, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref):
+    """Upper-triangle variant: grid (tile-pair, protein); the tile-pair's
+    (row, col) block indices come from the scalar-prefetched maps."""
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _():
+        s_ref[:] = jnp.zeros_like(s_ref)
+        n_ref[:] = jnp.zeros_like(n_ref)
+
+    a = ma_ref[0]
+    b = mb_ref[0]
+    cnt = jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    shared = cnt > 0
+    ta = ta_ref[pl.ds(p, 1), :]
+    tb = tb_ref[pl.ds(p, 1), :]
+    denom = (ta[0][:, None] + tb[0][None, :] - cnt).astype(jnp.float32)
+    j = jnp.where(shared, cnt.astype(jnp.float32) / denom, 0.0)
+    s_ref[:] += j
+    n_ref[:] += shared.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def _pallas_sn_sym(m: jax.Array, t: jax.Array, tile: int) -> tuple[jax.Array, jax.Array]:
+    """S/N with only the upper-triangle tile pairs computed (AJI is symmetric,
+    interface.hpp:103-111 orders pairs a<b); the lower triangle is
+    reconstructed from the transpose.  Skips nt*(nt-1)/2 of the nt^2 tiles —
+    the TPU analogue of the reference's a<b pair enumeration
+    (ds_impl.hpp:99-114) rather than a literal pair list."""
+    P, G, K = m.shape
+    nt = G // tile
+    rows, cols = np.triu_indices(nt)
+    npairs = len(rows)
+    grid = (npairs, P)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, K), lambda q, p, r, c: (p, r[q], 0)),
+            pl.BlockSpec((1, tile, K), lambda q, p, r, c: (p, c[q], 0)),
+            pl.BlockSpec((P, tile), lambda q, p, r, c: (0, r[q])),
+            pl.BlockSpec((P, tile), lambda q, p, r, c: (0, c[q])),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, tile), lambda q, p, r, c: (r[q], c[q])),
+            pl.BlockSpec((tile, tile), lambda q, p, r, c: (r[q], c[q])),
+        ],
+    )
+    s, n = pl.pallas_call(
+        _sym_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((G, G), jnp.float32),
+            jax.ShapeDtypeStruct((G, G), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * G * G * K * npairs // (nt * nt),
+            bytes_accessed=2 * P * G * K + 8 * G * G,
+            transcendentals=0,
+        ),
+    )(
+        jnp.asarray(rows, jnp.int32),
+        jnp.asarray(cols, jnp.int32),
+        m.astype(jnp.int8),
+        m.astype(jnp.int8),
+        t.astype(jnp.int32),
+        t.astype(jnp.int32),
+    )
+    # Unwritten lower-triangle tiles hold garbage; every (r, c) with
+    # tile(r) > tile(c) mirrors its transposed, computed entry.
+    upper = (jnp.arange(G)[:, None] // tile) <= (jnp.arange(G)[None, :] // tile)
+    s = jnp.where(upper, s, s.T)
+    n = jnp.where(upper, n, n.T)
+    return s, n
+
+
 # Working VMEM budget for auto tile selection (of the ~16 MB per core).
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def auto_tile(g: int, k: int) -> int:
-    """Largest power-of-two tile (128..1024) whose working set fits VMEM.
+# Measured full-grid kernel rates on the bench chip (G=1024, K=1280),
+# normalized to tile=1024: 128 -> 308M, 256 -> ~450M (interp), 512 -> 586M,
+# 1024 -> 627M pairs/s.  Bigger tiles cut HBM re-reads (each presence tile is
+# fetched G/tile times); smaller tiles let the symmetric grid skip more
+# lower-triangle work.
+_REL_RATE = {128: 0.49, 256: 0.72, 512: 0.93, 1024: 1.0}
 
-    Bigger tiles cut HBM re-reads linearly (each presence tile is fetched
-    G/tile times), so pick the largest that fits: 2 int8 input tiles of
-    (tile, K) plus the f32 S and int32 N output tiles of (tile, tile).
-    Measured on v5e (G=1024, K=1280): 128 -> 308M pairs/s, 512 -> 586M,
-    1024 -> 627M.
+
+def auto_tile(g: int, k: int, symmetric: bool = False) -> int:
+    """Pick the tile (128..1024) maximizing modeled throughput within VMEM.
+
+    Full grid: throughput ~ _REL_RATE[tile], so largest fitting tile wins.
+    Symmetric grid: only nt*(nt+1)/2 of nt^2 tiles run (nt = ceil(g/tile)),
+    so score = rate / work_ratio; smaller tiles trade HBM traffic for
+    skipped work.
     """
-    best = 128
+    best, best_score = 128, 0.0
     for tile in (128, 256, 512, 1024):
-        if 2 * tile * k + 8 * tile * tile <= _VMEM_BUDGET:
-            best = tile
+        if 2 * tile * k + 8 * tile * tile > _VMEM_BUDGET:
+            continue
+        nt = max(1, -(-g // tile))
+        work_ratio = (nt + 1) / (2 * nt) if symmetric else 1.0
+        score = _REL_RATE[tile] / work_ratio
+        if score > best_score:
+            best, best_score = tile, score
     return best
 
 
 def pallas_fused_aji(
-    m: jax.Array, t: jax.Array, tile: int | None = None
+    m: jax.Array,
+    t: jax.Array,
+    tile: int | None = None,
+    symmetric: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused AJI via the Pallas tile kernel; pads G to the tile size.
 
     Same contract as ops.fused.fused_aji.  Padded (all-zero) genomes produce
     cnt == 0 everywhere -> masked J, N == 0; padded rows/cols are sliced off
-    before returning.
+    before returning.  ``symmetric`` (the all-vs-all default) computes only
+    upper-triangle tile pairs and mirrors the rest — the result is identical
+    because M @ M.T is symmetric.
     """
     P, G, K = m.shape
     if K > MAX_K_SINGLE_BLOCK:
@@ -119,12 +215,12 @@ def pallas_fused_aji(
             "use ops.fused.fused_aji (XLA scan) for very wide presence tensors"
         )
     if tile is None:
-        tile = auto_tile(G, K)
+        tile = auto_tile(G, K, symmetric=symmetric)
     gp = ((G + tile - 1) // tile) * tile
     if gp != G:
         m = jnp.pad(m, ((0, 0), (0, gp - G), (0, 0)))
         t = jnp.pad(t, ((0, 0), (0, gp - G)))
-    s, n = _pallas_sn(m, t, tile)
+    s, n = (_pallas_sn_sym if symmetric else _pallas_sn)(m, t, tile)
     s = s[:G, :G]
     n = n[:G, :G]
     aji = s / n.astype(jnp.float32)

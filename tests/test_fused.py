@@ -80,6 +80,31 @@ def test_pallas_kernel_interpret_mode():
     np.testing.assert_allclose(np.asarray(aji), np.asarray(ref_aji), rtol=1e-6)
 
 
+def test_pallas_symmetric_matches_full():
+    """Symmetric (upper-triangle tile) kernel must equal the full-grid kernel
+    on a multi-tile G, including the mirrored lower triangle."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from parfastaai_tpu.ops.pallas_intersect import pallas_fused_aji
+
+    m, t = _rand_presence(P=3, G=300, K=256, seed=2)  # pads 300 -> 384, 3x3 tiles
+    ref_aji, ref_s, ref_n = fused_aji(jnp.asarray(m), jnp.asarray(t))
+    with pltpu.force_tpu_interpret_mode():
+        aji, s, n = pallas_fused_aji(
+            jnp.asarray(m), jnp.asarray(t), tile=128, symmetric=True
+        )
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(aji), np.asarray(ref_aji), rtol=1e-6)
+
+
+def test_auto_tile_symmetric_prefers_triangle_savings():
+    from parfastaai_tpu.ops.pallas_intersect import auto_tile
+
+    assert auto_tile(1024, 1280, symmetric=False) == 1024
+    assert auto_tile(1024, 1280, symmetric=True) == 512
+
+
 def test_pallas_rejects_oversized_k():
     from parfastaai_tpu.ops.pallas_intersect import pallas_fused_aji
 
