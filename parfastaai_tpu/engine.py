@@ -43,7 +43,16 @@ def jaccard_finish(
     denom_ta: np.ndarray,  # int (P, n_pairs) — T[p, denom_a]
     denom_tb: np.ndarray,  # int (P, n_pairs) — T[p, denom_b]
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Sequential ascending-protein f64 accumulation of (S, N) per pair."""
+    """Sequential ascending-protein f64 accumulation of (S, N) per pair.
+
+    Uses the native C++/OpenMP kernel when available (native/pfaai_native.cpp
+    — identical f64 operation order, so bit-for-bit equal), falling back to
+    the vectorized NumPy loop."""
+    from .native import native_jaccard_finish
+
+    res = native_jaccard_finish(counts, denom_ta, denom_tb)
+    if res is not None:
+        return res
     P, n = counts.shape
     s = np.zeros(n, dtype=np.float64)
     nacc = np.zeros(n, dtype=np.int32)

@@ -90,6 +90,23 @@ def _blob_to_ids(blob: bytes) -> np.ndarray:
     return np.frombuffer(blob, dtype="<i4")
 
 
+def _scatter_presence(m_p: np.ndarray, blobs: list[np.ndarray]) -> None:
+    """Scatter one protein's genome-id blobs into its (G, K) presence slice:
+    column j gets a 1 at each id in blobs[j].  Native C++/OpenMP when
+    available (the reference's constructF analogue, ds_helper.hpp:126-162),
+    NumPy otherwise."""
+    from ..native import native_unpack_presence
+
+    if blobs:
+        offsets = np.zeros(len(blobs) + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in blobs], out=offsets[1:])
+        gids = np.concatenate(blobs) if offsets[-1] else np.empty(0, np.int32)
+        if native_unpack_presence(gids, offsets, m_p):
+            return
+    for j, gids in enumerate(blobs):
+        m_p[gids, j] = 1
+
+
 class SCPDatabase:
     """Single FastAAI SQLite database accessor (reference SQLiteSCPDataBase,
     scp_db.hpp:57-263)."""
@@ -156,8 +173,7 @@ class SCPDatabase:
         tetramer_ids: list[np.ndarray] = []
         for p, (tet_arr, blobs) in enumerate(per_protein):
             tetramer_ids.append(tet_arr)
-            for j, gids in enumerate(blobs):
-                m[p, gids, j] = 1
+            _scatter_presence(m[p], blobs)
 
         return PresenceData(
             meta=self.meta,

@@ -1,0 +1,136 @@
+"""Loader for the native host runtime (pfaai_native.cpp) via ctypes.
+
+The shared library is built on demand with g++ (-O3 -fopenmp) into
+``~/.cache/parfastaai_tpu_native`` (override with PARFASTAAI_NATIVE_CACHE;
+set PARFASTAAI_NO_NATIVE=1 to force the pure-NumPy fallbacks).  Every native
+entry point has a NumPy twin in the callers, so a missing compiler only costs
+speed, never correctness.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "pfaai_native.cpp")
+_LIB = None
+_TRIED = False
+
+
+def _build_and_load() -> ctypes.CDLL | None:
+    if os.environ.get("PARFASTAAI_NO_NATIVE"):
+        return None
+    try:
+        with open(_SRC, "rb") as fp:
+            tag = hashlib.sha256(fp.read()).hexdigest()[:16]
+    except OSError:
+        return None
+    cache = os.environ.get(
+        "PARFASTAAI_NATIVE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "parfastaai_tpu_native"),
+    )
+    so_path = os.path.join(cache, f"pfaai_native_{tag}.so")
+    if not os.path.exists(so_path):
+        try:
+            os.makedirs(cache, exist_ok=True)
+            tmp = so_path + f".tmp{os.getpid()}"
+            subprocess.run(
+                [
+                    "g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                    "-fPIC", "-std=c++17", _SRC, "-o", tmp,
+                ],
+                check=True,
+                capture_output=True,
+            )
+            os.replace(tmp, so_path)
+        except (OSError, subprocess.CalledProcessError):
+            return None
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError:
+        return None
+    lib.jaccard_finish_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.unpack_presence.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+    ]
+    return lib
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """The native library, building it on first call; None if unavailable."""
+    global _LIB, _TRIED
+    if not _TRIED:
+        _LIB = _build_and_load()
+        _TRIED = True
+    return _LIB
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def native_jaccard_finish(
+    counts: np.ndarray, ta: np.ndarray, tb: np.ndarray
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Native (S, N) finish; None when the library is unavailable.
+
+    Bit-for-bit identical to the NumPy path: both accumulate f64 in ascending
+    protein order per pair."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    P, n = counts.shape
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    ta = np.ascontiguousarray(ta, dtype=np.int32)
+    tb = np.ascontiguousarray(tb, dtype=np.int32)
+    s = np.empty(n, dtype=np.float64)
+    nsh = np.empty(n, dtype=np.int32)
+    lib.jaccard_finish_f64(
+        _ptr(counts, ctypes.c_int32),
+        _ptr(ta, ctypes.c_int32),
+        _ptr(tb, ctypes.c_int32),
+        P,
+        n,
+        _ptr(s, ctypes.c_double),
+        _ptr(nsh, ctypes.c_int32),
+    )
+    return s, nsh
+
+
+def native_unpack_presence(
+    gids: np.ndarray, col_offsets: np.ndarray, m_out: np.ndarray
+) -> bool:
+    """Scatter one protein's genome-id blobs into m_out (G, K) uint8.
+
+    Returns False when the native library is unavailable (caller falls back).
+    """
+    lib = get_lib()
+    if lib is None:
+        return False
+    gids = np.ascontiguousarray(gids, dtype=np.int32)
+    col_offsets = np.ascontiguousarray(col_offsets, dtype=np.int64)
+    assert m_out.dtype == np.uint8 and m_out.flags.c_contiguous
+    lib.unpack_presence(
+        _ptr(gids, ctypes.c_int32),
+        _ptr(col_offsets, ctypes.c_int64),
+        len(col_offsets) - 1,
+        _ptr(m_out, ctypes.c_uint8),
+        m_out.shape[1],
+    )
+    return True

@@ -1,0 +1,80 @@
+"""Native C++/OpenMP host kernels vs their NumPy twins (bit-for-bit)."""
+
+import numpy as np
+import pytest
+
+from parfastaai_tpu.native import (
+    get_lib,
+    native_jaccard_finish,
+    native_unpack_presence,
+)
+
+pytestmark = pytest.mark.skipif(
+    get_lib() is None, reason="native library unavailable (no g++?)"
+)
+
+
+def _numpy_finish(counts, ta, tb):
+    P, n = counts.shape
+    s = np.zeros(n, dtype=np.float64)
+    nacc = np.zeros(n, dtype=np.int32)
+    for p in range(P):
+        c = counts[p]
+        mask = c > 0
+        cm = c[mask].astype(np.float64)
+        dm = (ta[p][mask] + tb[p][mask] - c[mask]).astype(np.float64)
+        s[mask] += cm / dm
+        nacc += mask
+    return s, nacc
+
+
+def test_jaccard_finish_bit_identical():
+    rng = np.random.default_rng(0)
+    P, n = 80, 1000
+    counts = rng.integers(0, 400, size=(P, n)).astype(np.int32)
+    counts[rng.random((P, n)) < 0.3] = 0  # some empty intersections
+    ta = (counts + rng.integers(0, 200, size=(P, n))).astype(np.int32)
+    tb = (counts + rng.integers(0, 200, size=(P, n))).astype(np.int32)
+    s_native, n_native = native_jaccard_finish(counts, ta, tb)
+    s_np, n_np = _numpy_finish(counts, ta, tb)
+    # Exact f64 equality — same operation order (ascending protein per pair).
+    np.testing.assert_array_equal(s_native, s_np)
+    np.testing.assert_array_equal(n_native, n_np)
+
+
+def test_unpack_presence_matches_numpy():
+    rng = np.random.default_rng(1)
+    G, K = 37, 64
+    blobs = [
+        np.sort(rng.choice(G, size=rng.integers(0, G), replace=False)).astype(
+            np.int32
+        )
+        for _ in range(K)
+    ]
+    offsets = np.zeros(K + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in blobs], out=offsets[1:])
+    gids = np.concatenate(blobs).astype(np.int32)
+
+    want = np.zeros((G, K), dtype=np.uint8)
+    for j, b in enumerate(blobs):
+        want[b, j] = 1
+
+    got = np.zeros((G, K), dtype=np.uint8)
+    assert native_unpack_presence(gids, offsets, got)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_engine_uses_native_and_stays_bit_exact(subset1_db, data_dir):
+    """End-to-end: with the native finish active, AJI must still equal the
+    reference golden bit-for-bit."""
+    from parfastaai_tpu.engine import compute
+    from parfastaai_tpu.etl.database import SCPDatabase
+    from parfastaai_tpu.etl.goldens import read_f64_vector
+    from parfastaai_tpu.modes import all_vs_all
+
+    db = SCPDatabase(subset1_db)
+    pres = db.load_presence()
+    db.close()
+    result = compute(pres, all_vs_all(db.meta))
+    golden = read_f64_vector(f"{data_dir}/xdb_subset1_aji.bin")
+    np.testing.assert_array_equal(result.aji, golden)
