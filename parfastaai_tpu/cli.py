@@ -15,7 +15,7 @@ import os
 import sys
 
 from . import __version__
-from .engine import compute, compute_fast
+from .engine import compute, compute_fast, compute_sharded, compute_streamed
 from .etl.database import QueryTargetDatabase, SCPDatabase
 from .io.csv_writer import write_aji_csv
 from .modes import all_vs_all, query_subset, query_target
@@ -65,6 +65,42 @@ def build_parser() -> argparse.ArgumentParser:
             "host traffic"
         ),
     )
+    p.add_argument(
+        "--streamed",
+        action="store_true",
+        help=(
+            "Streaming row-band engine: write the CSV incrementally with "
+            "O(band x G) memory (f32 device pipeline; for genome counts "
+            "where the full pair list / result matrix does not fit)"
+        ),
+    )
+    p.add_argument(
+        "--band", type=int, default=1024, help="Streamed mode: rows per band"
+    )
+    p.add_argument(
+        "--col-chunk",
+        type=int,
+        default=4096,
+        help="Streamed mode: columns per device block",
+    )
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help=(
+            "Streamed mode: continue an interrupted run — complete "
+            "band-aligned rows already in the output file are kept"
+        ),
+    )
+    p.add_argument(
+        "--mesh",
+        default="",
+        metavar="ROWS[,SCP]",
+        help=(
+            "Run the fused pipeline over a device mesh: ROWS-way genome-band "
+            "data parallelism x SCP-way protein sharding (default: single "
+            "device)"
+        ),
+    )
     p.add_argument("--quiet", action="store_true", help="Suppress phase timing output")
     p.add_argument("--version", action="version", version=__version__)
     return p
@@ -111,8 +147,32 @@ def run(argv: list[str] | None = None) -> int:
         with phase_timer("Presence ETL       ", enabled=verbose):
             presence = db.load_presence()
         db.close()
+        if args.streamed:
+            with phase_timer("Streamed AJI + CSV ", enabled=verbose):
+                compute_streamed(
+                    presence,
+                    pairs.row_db_ids,
+                    pairs.col_db_ids,
+                    args.path_to_output_file,
+                    pairs.query_names,
+                    pairs.target_names,
+                    separator=args.separator,
+                    band=args.band,
+                    col_chunk=args.col_chunk,
+                    resume=args.resume,
+                )
+            if verbose:
+                print(
+                    f"Wrote {len(pairs.query_names)} x {len(pairs.target_names)} "
+                    f"AJI matrix to {args.path_to_output_file} (streamed)"
+                )
+            return 0
         with phase_timer("JAC + AJI          ", enabled=verbose):
-            if args.fast:
+            if args.mesh:
+                parts = [int(x) for x in args.mesh.split(",")]
+                n_rows, n_scp = parts[0], parts[1] if len(parts) > 1 else 1
+                result = compute_sharded(presence, pairs, n_rows, n_scp)
+            elif args.fast:
                 result = compute_fast(presence, pairs)
             else:
                 result = compute(presence, pairs)

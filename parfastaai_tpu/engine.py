@@ -71,7 +71,17 @@ def jaccard_finish(
 # Below this many MACs (P * G^2 * K) the whole problem is host-trivial and a
 # device round-trip costs far more than it saves (this environment's TPU relay
 # adds seconds-to-minutes of dispatch latency on cold shapes).
+# PARFASTAAI_FORCE_DEVICE=1 disables the host fallbacks.
 HOST_WORK_LIMIT = int(4e9)
+
+
+def _use_host(presence: PresenceData) -> bool:
+    import os
+
+    if os.environ.get("PARFASTAAI_FORCE_DEVICE"):
+        return False
+    P, G, K = presence.m.shape
+    return P * G * G * K <= HOST_WORK_LIMIT
 
 
 def _pair_counts_host(
@@ -91,8 +101,7 @@ def compute(presence: PresenceData, pairs: PairSpace) -> JacResult:
     under HOST_WORK_LIMIT MACs, the identical computation on host BLAS
     (integer counts are exact on any backend, so the results are
     indistinguishable)."""
-    P, G, K = presence.m.shape
-    if P * G * G * K <= HOST_WORK_LIMIT:
+    if _use_host(presence):
         counts = _pair_counts_host(presence.m, pairs.db_a, pairs.db_b)
     else:
         # Counts are bounded by max(T); use int16 when safe to halve the one
@@ -116,6 +125,37 @@ def compute(presence: PresenceData, pairs: PairSpace) -> JacResult:
     )
 
 
+def _resume_point(out_path: str, header: str, band: int) -> int:
+    """Rows already complete in a partial streamed CSV, rounded down to a
+    band boundary; truncates the file to exactly those rows.  Returns 0 (and
+    leaves rewriting to the caller) when the file is absent or its header
+    does not match this run's column set."""
+    import os
+
+    if not os.path.exists(out_path):
+        return 0
+    rows = 0
+    keep_bytes = 0
+    with open(out_path, "rb") as fp:
+        first = fp.readline()
+        if not first.endswith(b"\n") or first.decode() != header:
+            return 0
+        offset = len(first)
+        for line in fp:
+            if not line.endswith(b"\n"):
+                break  # trailing partial write from the interrupted run
+            offset += len(line)
+            rows += 1
+            if rows % band == 0:
+                keep_bytes = offset  # only band-aligned prefixes are resumable
+    rows -= rows % band
+    if rows == 0:
+        return 0
+    with open(out_path, "r+b") as fp:
+        fp.truncate(keep_bytes)
+    return rows
+
+
 def compute_streamed(
     presence: PresenceData,
     row_ids: np.ndarray,
@@ -126,6 +166,7 @@ def compute_streamed(
     separator: str = ",",
     band: int = 1024,
     col_chunk: int = 4096,
+    resume: bool = False,
 ) -> None:
     """Memory-bounded production path: AJI straight to CSV in row bands.
 
@@ -147,6 +188,10 @@ def compute_streamed(
         columns, in output order.
       band / col_chunk: block shape; G is processed in ceil-divided blocks
         with zero-genome padding (padded entries never reach the CSV).
+      resume: continue an interrupted run — complete rows already present in
+        ``out_path`` are kept (a trailing partial line is truncated) and
+        computation restarts at the first missing row.  The CSV itself is the
+        checkpoint; there is no sidecar state.
     """
     import jax
 
@@ -157,21 +202,54 @@ def compute_streamed(
     band = min(band, len(row_ids))
     col_chunk = min(col_chunk, len(col_ids))
 
-    md = jnp.asarray(presence.m)
-    td = jnp.asarray(presence.t)
+    if _use_host(presence):
+        # Problem is host-trivial; skip device dispatch entirely (same
+        # rationale as compute's HOST_WORK_LIMIT).  f32 math in the same
+        # ascending-protein order as the device scan.
+        def block(md, td, rids, cids, nb, nc):
+            rids, cids = np.asarray(rids), np.asarray(cids)
+            mf = presence.m.astype(np.float64)
+            cnt = np.rint(
+                mf[:, rids] @ mf[:, cids].transpose(0, 2, 1)
+            ).astype(np.int32)
+            ta = presence.t[:, rids].astype(np.int32)
+            tb = presence.t[:, cids].astype(np.int32)
+            s = np.zeros((len(rids), len(cids)), dtype=np.float32)
+            n = np.zeros((len(rids), len(cids)), dtype=np.int32)
+            for p in range(cnt.shape[0]):
+                shared = cnt[p] > 0
+                denom = (ta[p][:, None] + tb[p][None, :] - cnt[p]).astype(
+                    np.float32
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    j = np.where(
+                        shared, cnt[p].astype(np.float32) / denom, 0.0
+                    )
+                s += j
+                n += shared
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return s / n.astype(np.float32), n
 
-    @partial(jax.jit, static_argnames=("nb", "nc"))
-    def block(md, td, rids, cids, nb, nc):
-        ma = jnp.take(md, rids, axis=1)
-        mb = jnp.take(md, cids, axis=1)
-        ta = jnp.take(td, rids, axis=1)
-        tb = jnp.take(td, cids, axis=1)
-        s, n = fused_sn_block(ma, mb, ta, tb)
-        return s / n.astype(jnp.float32), n
+        md = td = None
+    else:
+        md = jnp.asarray(presence.m)
+        td = jnp.asarray(presence.t)
 
-    with open(out_path, "w") as fp:
-        fp.write(separator + separator.join(col_names) + "\n")
-        for r0 in range(0, len(row_ids), band):
+        @partial(jax.jit, static_argnames=("nb", "nc"))
+        def block(md, td, rids, cids, nb, nc):
+            ma = jnp.take(md, rids, axis=1)
+            mb = jnp.take(md, cids, axis=1)
+            ta = jnp.take(td, rids, axis=1)
+            tb = jnp.take(td, cids, axis=1)
+            s, n = fused_sn_block(ma, mb, ta, tb)
+            return s / n.astype(jnp.float32), n
+
+    header = separator + separator.join(col_names) + "\n"
+    rows_done = _resume_point(out_path, header, band) if resume else 0
+    with open(out_path, "a" if rows_done else "w") as fp:
+        if not rows_done:
+            fp.write(header)
+        for r0 in range(rows_done, len(row_ids), band):
             rids = row_ids[r0 : r0 + band]
             pad_r = band - len(rids)
             rpad = np.pad(rids, (0, pad_r))
@@ -181,7 +259,7 @@ def compute_streamed(
                 pad_c = col_chunk - len(cids)
                 cpad = np.pad(cids, (0, pad_c))
                 aji, n = block(
-                    md, td, jnp.asarray(rpad), jnp.asarray(cpad), band, col_chunk
+                    md, td, rpad, cpad, band, col_chunk
                 )
                 blk = np.array(aji[: len(rids), : len(cids)])
                 nblk = np.asarray(n[: len(rids), : len(cids)])
@@ -196,6 +274,54 @@ def compute_streamed(
                     + separator.join(format_double(v) for v in rows_aji[i])
                     + "\n"
                 )
+
+
+def compute_sharded(
+    presence: PresenceData,
+    pairs: PairSpace,
+    n_rows: int | None = None,
+    n_scp: int = 1,
+) -> JacResult:
+    """Fused f32 path over an (n_rows, n_scp) device mesh (parallel/mesh.py).
+
+    Genome row bands are data-parallel across ``rows``; the protein axis is
+    sharded across ``scp`` with a psum merge.  Pads G / P to mesh multiples
+    with zero genomes / empty proteins (zero rows give cnt == 0 -> masked).
+    Denominators use the DB id columns, so in two-database compat mode
+    (modes.query_target default) this falls back to the exact path like
+    compute_fast does.
+    """
+    import jax
+
+    from .parallel.distributed import gather_to_host
+    from .parallel.mesh import make_mesh, sharded_fused_aji
+
+    if not (
+        np.array_equal(pairs.denom_a, pairs.db_a)
+        and np.array_equal(pairs.denom_b, pairs.db_b)
+    ):
+        return compute(presence, pairs)
+
+    if n_rows is None:
+        n_rows = max(1, jax.device_count() // n_scp)
+    mesh = make_mesh(n_rows, n_scp)
+    P, G, K = presence.m.shape
+    pp = -(-P // n_scp) * n_scp
+    gp = -(-G // n_rows) * n_rows
+    m = presence.m
+    t = presence.t
+    if (pp, gp) != (P, G):
+        m = np.pad(m, ((0, pp - P), (0, gp - G), (0, 0)))
+        t = np.pad(t, ((0, pp - P), (0, gp - G)))
+    _, s_mat, n_mat = sharded_fused_aji(mesh, m, t)
+    s_mat = gather_to_host(s_mat)[:G, :G]
+    n_mat = gather_to_host(n_mat)[:G, :G]
+    return JacResult(
+        genome_a=pairs.jac_a.astype(np.int32),
+        genome_b=pairs.jac_b.astype(np.int32),
+        s=s_mat[pairs.db_a, pairs.db_b].astype(np.float64),
+        n=n_mat[pairs.db_a, pairs.db_b].astype(np.int32),
+    )
 
 
 def compute_fast(

@@ -53,6 +53,10 @@ class PairSpace:
     # CSV axes:
     query_names: tuple[str, ...]  # row labels, in row order
     target_names: tuple[str, ...]  # column labels, in column order
+    # Presence-tensor genome index of each CSV row / column, in output order
+    # (drives the streaming engine, engine.compute_streamed):
+    row_db_ids: np.ndarray  # int32 (len(query_names),)
+    col_db_ids: np.ndarray  # int32 (len(target_names),)
 
     @property
     def n_pairs(self) -> int:
@@ -68,10 +72,12 @@ def all_vs_all(meta: DBMetaData) -> PairSpace:
     a, b = np.triu_indices(g, k=1)
     a = a.astype(np.int32)
     b = b.astype(np.int32)
+    ids = np.arange(g, dtype=np.int32)
     return PairSpace(
         db_a=a, db_b=b, jac_a=a, jac_b=b, denom_a=a, denom_b=b,
         out_row=a, out_col=b, mirror_row=b, mirror_col=a,
         query_names=meta.genome_set, target_names=meta.genome_set,
+        row_db_ids=ids, col_db_ids=ids,
     )
 
 
@@ -132,6 +138,7 @@ def query_subset(meta: DBMetaData, query_names: list[str]) -> PairSpace:
         out_row=out_row, out_col=out_col,
         mirror_row=mirror_row, mirror_col=mirror_col,
         query_names=tuple(query_names), target_names=meta.genome_set,
+        row_db_ids=qry_lookup, col_db_ids=np.arange(g, dtype=np.int32),
     )
 
 
@@ -176,4 +183,6 @@ def query_target(meta: DBMetaData, compat_qt_t_swap: bool = True) -> PairSpace:
         denom_a=denom_a, denom_b=denom_b,
         out_row=qi, out_col=ti, mirror_row=none, mirror_col=none,
         query_names=meta.query_genome_set, target_names=meta.genome_set,
+        row_db_ids=nt + np.arange(nq, dtype=np.int32),
+        col_db_ids=np.arange(nt, dtype=np.int32),
     )

@@ -1,0 +1,93 @@
+"""Sharded engine + CLI streamed/mesh flags on the 8-device CPU mesh."""
+
+import csv
+
+import numpy as np
+
+from parfastaai_tpu.cli import run
+from parfastaai_tpu.engine import compute, compute_sharded
+from parfastaai_tpu.etl.database import SCPDatabase
+from parfastaai_tpu.modes import all_vs_all
+
+
+def _load(path):
+    db = SCPDatabase(path)
+    pres = db.load_presence()
+    db.close()
+    return db.meta, pres
+
+
+def _read_csv(path):
+    with open(path) as fp:
+        rows = list(csv.reader(fp))
+    return rows[0][1:], [r[0] for r in rows[1:]], np.array(
+        [[float(v) for v in r[1:]] for r in rows[1:]]
+    )
+
+
+def test_compute_sharded_matches_exact(combo12_db):
+    """8 genomes over a 4x2 (rows x scp) mesh with G and P padding
+    (8 % 4 == 0, 80 % 2 == 0; then again on a 3-row mesh forcing G pad)."""
+    meta, pres = _load(combo12_db)
+    pairs = all_vs_all(meta)
+    exact = compute(pres, pairs)
+    for n_rows, n_scp in ((4, 2), (3, 1)):
+        got = compute_sharded(pres, pairs, n_rows=n_rows, n_scp=n_scp)
+        np.testing.assert_array_equal(got.n, exact.n)
+        np.testing.assert_allclose(got.aji, exact.aji, rtol=1e-6)
+
+
+def test_cli_mesh_flag_matches_exact(combo12_db, tmp_path):
+    exact_csv = tmp_path / "exact.csv"
+    mesh_csv = tmp_path / "mesh.csv"
+    assert run([combo12_db, str(exact_csv), "--quiet"]) == 0
+    assert run([combo12_db, str(mesh_csv), "--quiet", "--mesh", "4,2"]) == 0
+    _, _, want = _read_csv(str(exact_csv))
+    names, rows, got = _read_csv(str(mesh_csv))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=0)
+
+
+def test_cli_streamed_all_modes(combo12_db, subset1_db, subset2_db, tmp_path):
+    """--streamed output matches the exact CSV (f32 tolerance) in all three
+    modes, with tiny bands to exercise the block loops."""
+    # all-vs-all
+    e1, s1 = tmp_path / "e1.csv", tmp_path / "s1.csv"
+    assert run([combo12_db, str(e1), "--quiet"]) == 0
+    assert run(
+        [combo12_db, str(s1), "--quiet", "--streamed", "--band", "3",
+         "--col-chunk", "5"]
+    ) == 0
+    _, _, want = _read_csv(str(e1))
+    _, _, got = _read_csv(str(s1))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=0)
+
+    # query-subset
+    qfile = tmp_path / "q.txt"
+    qfile.write_text(
+        "Xanthomonas_albilineans_GCA_000962915_1.fna.gz\n"
+        "Xanthomonas_albilineans_GCA_000963025_1.fna.gz\n"
+    )
+    e2, s2 = tmp_path / "e2.csv", tmp_path / "s2.csv"
+    assert run([combo12_db, str(e2), "--quiet", "-q", str(qfile)]) == 0
+    assert run(
+        [combo12_db, str(s2), "--quiet", "-q", str(qfile), "--streamed",
+         "--band", "1", "--col-chunk", "3"]
+    ) == 0
+    _, _, want = _read_csv(str(e2))
+    _, _, got = _read_csv(str(s2))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=0)
+
+    # two-database: streamed uses the correct (non-swapped) denominators, so
+    # compare against the exact engine with compat disabled.
+    e3, s3 = tmp_path / "e3.csv", tmp_path / "s3.csv"
+    assert run(
+        [subset1_db, str(e3), "--quiet", "-r", subset2_db,
+         "--no-compat-qt-t-swap"]
+    ) == 0
+    assert run(
+        [subset1_db, str(s3), "--quiet", "-r", subset2_db, "--streamed",
+         "--band", "2", "--col-chunk", "3"]
+    ) == 0
+    _, _, want = _read_csv(str(e3))
+    _, _, got = _read_csv(str(s3))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=0)

@@ -21,6 +21,38 @@ def _read_csv(path, sep=","):
     return names, row_names, vals
 
 
+def test_streamed_resume_produces_identical_file(combo12_db, tmp_path):
+    """Interrupting after N complete rows and resuming must yield a file
+    byte-identical to the uninterrupted run."""
+    db = SCPDatabase(combo12_db)
+    pres = db.load_presence()
+    db.close()
+    g = len(db.meta.genome_set)
+    ids = np.arange(g, dtype=np.int32)
+    names = db.meta.genome_set
+
+    full = tmp_path / "full.csv"
+    compute_streamed(pres, ids, ids, str(full), names, names, band=2, col_chunk=4)
+    want = full.read_bytes()
+
+    part = tmp_path / "part.csv"
+    # Simulate an interrupted run: header + 4 complete rows + a torn write.
+    lines = want.split(b"\n")
+    part.write_bytes(b"\n".join(lines[:5]) + b"\n" + lines[5][:13])
+    compute_streamed(
+        pres, ids, ids, str(part), names, names, band=2, col_chunk=4, resume=True
+    )
+    assert part.read_bytes() == want
+
+    # Resume with a mismatched header must rewrite from scratch.
+    bad = tmp_path / "bad.csv"
+    bad.write_bytes(b",wrong,header\n" + b"\n".join(lines[1:5]) + b"\n")
+    compute_streamed(
+        pres, ids, ids, str(bad), names, names, band=2, col_chunk=4, resume=True
+    )
+    assert bad.read_bytes() == want
+
+
 def test_streamed_matches_exact_all_vs_all(subset1_db, tmp_path):
     db = SCPDatabase(subset1_db)
     pres = db.load_presence()
@@ -41,3 +73,23 @@ def test_streamed_matches_exact_all_vs_all(subset1_db, tmp_path):
     assert tuple(row_names) == db.meta.genome_set
     np.testing.assert_array_equal(np.diag(vals), 0.0)
     np.testing.assert_allclose(vals, exact_mat, rtol=1e-6, atol=0)
+
+
+def test_streamed_device_path_matches_host(subset1_db, tmp_path, monkeypatch):
+    """The jitted device block path (used above HOST_WORK_LIMIT) must agree
+    with the host-fallback path."""
+    db = SCPDatabase(subset1_db)
+    pres = db.load_presence()
+    db.close()
+    g = len(db.meta.genome_set)
+    ids = np.arange(g, dtype=np.int32)
+    names = db.meta.genome_set
+
+    host_csv = tmp_path / "host.csv"
+    compute_streamed(pres, ids, ids, str(host_csv), names, names, band=3, col_chunk=3)
+    dev_csv = tmp_path / "dev.csv"
+    monkeypatch.setenv("PARFASTAAI_FORCE_DEVICE", "1")
+    compute_streamed(pres, ids, ids, str(dev_csv), names, names, band=3, col_chunk=3)
+    _, _, host_vals = _read_csv(str(host_csv))
+    _, _, dev_vals = _read_csv(str(dev_csv))
+    np.testing.assert_allclose(dev_vals, host_vals, rtol=1e-6, atol=0)
