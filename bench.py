@@ -38,6 +38,19 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # Persist compiled executables across runs (remote compiles here can take
+    # minutes; reruns then take seconds).
+    cache_dir = os.environ.get(
+        "PARFASTAAI_JIT_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "parfastaai_tpu_jit"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     g = int(os.environ.get("PARFASTAAI_BENCH_G", "2048"))
     s_long = int(os.environ.get("PARFASTAAI_BENCH_STEPS", "64"))
     s_short = max(4, s_long // 8)
@@ -50,6 +63,9 @@ def main() -> None:
 
     if impl == "pallas":
         from parfastaai_tpu.ops.pallas_intersect import pallas_fused_aji as fn
+
+        if os.environ.get("PARFASTAAI_BENCH_APPROX"):
+            fn = functools.partial(fn, approx=True)
     else:
         from parfastaai_tpu.ops.fused import fused_aji as fn
 

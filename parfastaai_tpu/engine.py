@@ -195,7 +195,7 @@ def compute_streamed(
     """
     import jax
 
-    from .io.fmtfloat import format_double
+    from .io.csv_writer import format_row
 
     row_ids = np.asarray(row_ids, dtype=np.int32)
     col_ids = np.asarray(col_ids, dtype=np.int32)
@@ -271,7 +271,7 @@ def compute_streamed(
                 fp.write(
                     row_names[r0 + i]
                     + separator
-                    + separator.join(format_double(v) for v in rows_aji[i])
+                    + format_row(rows_aji[i].astype(np.float64), separator)
                     + "\n"
                 )
 

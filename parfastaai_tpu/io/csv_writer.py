@@ -35,9 +35,16 @@ def write_aji_csv(
     with open(path, "w") as fp:
         fp.write(separator + separator.join(pairs.target_names) + "\n")
         for i, name in enumerate(pairs.query_names):
-            fp.write(
-                name
-                + separator
-                + separator.join(format_double(v) for v in mat[i])
-                + "\n"
-            )
+            fp.write(name + separator + format_row(mat[i], separator) + "\n")
+
+
+def format_row(values: np.ndarray, separator: str) -> str:
+    """One row of doubles, shortest-round-trip; native C++ formatter when
+    available (validated byte-identical at first use), Python otherwise."""
+    if len(separator) == 1:
+        from ..native import native_format_row
+
+        row = native_format_row(values, separator)
+        if row is not None:
+            return row.decode("ascii")
+    return separator.join(format_double(v) for v in values)

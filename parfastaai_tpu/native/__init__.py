@@ -69,6 +69,13 @@ def _build_and_load() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64,
     ]
+    lib.format_f64_row.argtypes = [
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.c_char,
+        ctypes.POINTER(ctypes.c_char),
+    ]
+    lib.format_f64_row.restype = ctypes.c_int64
     return lib
 
 
@@ -111,6 +118,59 @@ def native_jaccard_finish(
         _ptr(nsh, ctypes.c_int32),
     )
     return s, nsh
+
+
+_FORMAT_VALIDATED: bool | None = None
+
+
+def _validate_formatter(lib) -> bool:
+    """One-time self-test: the native formatter must be byte-identical to
+    io/fmtfloat.format_double over a value corpus covering every notation
+    branch (the CSV parity guarantee rides on it)."""
+    from ..io.fmtfloat import format_double
+
+    rng = np.random.default_rng(0)
+    corpus = np.concatenate(
+        [
+            rng.random(200),
+            rng.random(50) * 1e-5,
+            rng.random(50) * 1e-17,
+            rng.random(50) * 1e17,
+            -rng.random(50),
+            np.array(
+                [0.0, -0.0, 1.0, 0.5, 1e-4, 9.999e-5, 1e16, 1e15 + 0.5,
+                 np.nan, np.inf, -np.inf, 5e-324, 1.7976931348623157e308]
+            ),
+        ]
+    )
+    want = ",".join(format_double(v) for v in corpus).encode()
+    buf = ctypes.create_string_buffer(len(corpus) * 32)
+    n = lib.format_f64_row(
+        _ptr(np.ascontiguousarray(corpus), ctypes.c_double),
+        len(corpus),
+        b",",
+        buf,
+    )
+    return buf.raw[:n] == want
+
+
+def native_format_row(vals: np.ndarray, sep: str) -> bytes | None:
+    """One CSV row of shortest-round-trip doubles; None when the native lib
+    is unavailable or failed its byte-compat self-test."""
+    global _FORMAT_VALIDATED
+    lib = get_lib()
+    if lib is None:
+        return None
+    if _FORMAT_VALIDATED is None:
+        _FORMAT_VALIDATED = _validate_formatter(lib)
+    if not _FORMAT_VALIDATED:
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    buf = ctypes.create_string_buffer(max(1, len(vals)) * 32)
+    n = lib.format_f64_row(
+        _ptr(vals, ctypes.c_double), len(vals), sep.encode(), buf
+    )
+    return buf.raw[:n]
 
 
 def native_unpack_presence(

@@ -20,7 +20,18 @@
 //
 // Exposed with C linkage for ctypes (no pybind11 in this environment).
 
+//   * format_f64_row — CSV row formatting with shortest-round-trip doubles
+//     (std::to_chars), the native counterpart of the reference's
+//     fmt::print("{}") writer (src/main.cpp:160-174).  At production genome
+//     counts the CSV itself is O(G^2) values, so per-value Python formatting
+//     would dominate the streamed path.
+//
+// Exposed with C linkage for ctypes (no pybind11 in this environment).
+
+#include <charconv>
+#include <cmath>
 #include <cstdint>
+#include <cstring>
 
 extern "C" {
 
@@ -58,6 +69,103 @@ void unpack_presence(const int32_t* gids, const int64_t* col_offsets,
       m[static_cast<int64_t>(gids[k]) * K + j] = 1;
     }
   }
+}
+
+// Formats one value byte-identically to io/fmtfloat.py's format_double
+// (Python repr with a trailing ".0" stripped): shortest round-trip digits,
+// fixed notation for decimal exponent in [-4, 16), otherwise scientific
+// with signed two-digit-minimum exponent ("1e-05", "1e+16").  Built from
+// to_chars' shortest *scientific* form, because plain to_chars switches to
+// scientific whenever it is shorter (e.g. "1e-04"), which repr does not.
+// Returns bytes written.
+static int64_t format_one(double v, char* out) {
+  if (std::isnan(v)) {
+    std::memcpy(out, "nan", 3);
+    return 3;
+  }
+  if (std::isinf(v)) {
+    if (v > 0) {
+      std::memcpy(out, "inf", 3);
+      return 3;
+    }
+    std::memcpy(out, "-inf", 4);
+    return 4;
+  }
+  char* p = out;
+  if (std::signbit(v)) {
+    *p++ = '-';
+    v = -v;
+  }
+  if (v == 0.0) {
+    *p++ = '0';
+    return p - out;
+  }
+  char sci[48];
+  auto res = std::to_chars(sci, sci + sizeof(sci), v, std::chars_format::scientific);
+  // Parse "d[.ddd]e±k" into the digit string and decimal exponent.
+  char digs[24];
+  int64_t ndigs = 0;
+  int64_t i = 0;
+  for (; sci + i < res.ptr && sci[i] != 'e'; ++i) {
+    if (sci[i] != '.') digs[ndigs++] = sci[i];
+  }
+  int exp10 = 0;
+  {
+    bool neg = sci[++i] == '-';
+    if (sci[i] == '-' || sci[i] == '+') ++i;
+    for (; sci + i < res.ptr; ++i) exp10 = exp10 * 10 + (sci[i] - '0');
+    if (neg) exp10 = -exp10;
+  }
+  if (exp10 >= -4 && exp10 < 16) {  // repr's fixed-notation window
+    if (exp10 >= ndigs - 1) {       // integral: digits then zeros, no ".0"
+      std::memcpy(p, digs, ndigs);
+      p += ndigs;
+      for (int64_t z = 0; z < exp10 - (ndigs - 1); ++z) *p++ = '0';
+    } else if (exp10 >= 0) {  // dd.ddd
+      std::memcpy(p, digs, exp10 + 1);
+      p += exp10 + 1;
+      *p++ = '.';
+      std::memcpy(p, digs + exp10 + 1, ndigs - exp10 - 1);
+      p += ndigs - exp10 - 1;
+    } else {  // 0.00ddd
+      *p++ = '0';
+      *p++ = '.';
+      for (int64_t z = 0; z < -exp10 - 1; ++z) *p++ = '0';
+      std::memcpy(p, digs, ndigs);
+      p += ndigs;
+    }
+  } else {  // scientific: d[.ddd]e±EE
+    *p++ = digs[0];
+    if (ndigs > 1) {
+      *p++ = '.';
+      std::memcpy(p, digs + 1, ndigs - 1);
+      p += ndigs - 1;
+    }
+    *p++ = 'e';
+    int e = exp10;
+    *p++ = e < 0 ? '-' : '+';
+    if (e < 0) e = -e;
+    char ebuf[8];
+    int en = 0;
+    do {
+      ebuf[en++] = '0' + (e % 10);
+      e /= 10;
+    } while (e);
+    while (en < 2) ebuf[en++] = '0';
+    while (en) *p++ = ebuf[--en];
+  }
+  return p - out;
+}
+
+// Formats n doubles joined by `sep` into buf (caller guarantees capacity:
+// 25 bytes per value is ample).  Returns total bytes written.
+int64_t format_f64_row(const double* vals, int64_t n, char sep, char* buf) {
+  char* p = buf;
+  for (int64_t i = 0; i < n; ++i) {
+    if (i) *p++ = sep;
+    p += format_one(vals[i], p);
+  }
+  return p - buf;
 }
 
 }  // extern "C"

@@ -45,8 +45,12 @@ def fused_aji(m: jax.Array, t: jax.Array) -> tuple[jax.Array, jax.Array, jax.Arr
             mp, mp, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
         )
         shared = cnt > 0
-        denom = (tp[:, None] + tp[None, :] - cnt).astype(jnp.float32)
-        j = jnp.where(shared, cnt.astype(jnp.float32) / denom, 0.0)
+        # cnt > 0 implies denom >= 1, and cnt == 0 gives 0/denom' == 0, so
+        # clamping the denominator replaces a select (VPU op savings).
+        denom = jnp.maximum(tp[:, None] + tp[None, :] - cnt, 1).astype(
+            jnp.float32
+        )
+        j = cnt.astype(jnp.float32) / denom
         return (s + j, n + shared.astype(jnp.int32)), None
 
     g = m.shape[1]
@@ -78,8 +82,10 @@ def fused_sn_block(
             mpa, mpb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
         )
         shared = cnt > 0
-        denom = (tpa[:, None] + tpb[None, :] - cnt).astype(jnp.float32)
-        j = jnp.where(shared, cnt.astype(jnp.float32) / denom, 0.0)
+        denom = jnp.maximum(tpa[:, None] + tpb[None, :] - cnt, 1).astype(
+            jnp.float32
+        )
+        j = cnt.astype(jnp.float32) / denom
         return (s + j, n + shared.astype(jnp.int32)), None
 
     a, b = ma.shape[1], mb.shape[1]

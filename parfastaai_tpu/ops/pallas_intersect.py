@@ -30,14 +30,9 @@ from ..constants import DEFAULT_TILE
 MAX_K_SINGLE_BLOCK = 32768
 
 
-def _kernel(ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref):
-    p = pl.program_id(2)
-
-    @pl.when(p == 0)
-    def _():
-        s_ref[:] = jnp.zeros_like(s_ref)
-        n_ref[:] = jnp.zeros_like(n_ref)
-
+def _accumulate(p, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, approx):
+    """Shared kernel body: one protein's int8 Gram product + Jaccard
+    accumulation into the VMEM-resident (S, N) tile."""
     a = ma_ref[0]  # (TILE, K) int8
     b = mb_ref[0]  # (TILE, K) int8
     cnt = jax.lax.dot_general(
@@ -48,18 +43,39 @@ def _kernel(ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref):
     # the current protein's row dynamically.
     ta = ta_ref[pl.ds(p, 1), :]  # (1, TILE)
     tb = tb_ref[pl.ds(p, 1), :]
-    denom = (ta[0][:, None] + tb[0][None, :] - cnt).astype(jnp.float32)
-    j = jnp.where(shared, cnt.astype(jnp.float32) / denom, 0.0)
+    # cnt > 0 implies denom >= 1, and cnt == 0 contributes 0/denom' == 0, so
+    # clamping replaces a select (the pipeline is VPU-bound, not MXU-bound).
+    denom = jnp.maximum(ta[0][:, None] + tb[0][None, :] - cnt, 1).astype(
+        jnp.float32
+    )
+    cf = cnt.astype(jnp.float32)
+    if approx:
+        j = cf * pl.reciprocal(denom, approx=True)
+    else:
+        j = cf / denom
     s_ref[:] += j
     n_ref[:] += shared.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
-def _pallas_sn(m: jax.Array, t: jax.Array, tile: int) -> tuple[jax.Array, jax.Array]:
+def _kernel(ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, *, approx=False):
+    p = pl.program_id(2)
+
+    @pl.when(p == 0)
+    def _():
+        s_ref[:] = jnp.zeros_like(s_ref)
+        n_ref[:] = jnp.zeros_like(n_ref)
+
+    _accumulate(p, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, approx)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "approx"))
+def _pallas_sn(
+    m: jax.Array, t: jax.Array, tile: int, approx: bool = False
+) -> tuple[jax.Array, jax.Array]:
     P, G, K = m.shape
     grid = (G // tile, G // tile, P)
     s, n = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, approx=approx),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile, K), lambda i, j, p: (p, i, 0)),
@@ -84,7 +100,9 @@ def _pallas_sn(m: jax.Array, t: jax.Array, tile: int) -> tuple[jax.Array, jax.Ar
     return s, n
 
 
-def _sym_kernel(rows_ref, cols_ref, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref):
+def _sym_kernel(
+    rows_ref, cols_ref, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, *, approx=False
+):
     """Upper-triangle variant: grid (tile-pair, protein); the tile-pair's
     (row, col) block indices come from the scalar-prefetched maps."""
     p = pl.program_id(1)
@@ -94,22 +112,13 @@ def _sym_kernel(rows_ref, cols_ref, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref
         s_ref[:] = jnp.zeros_like(s_ref)
         n_ref[:] = jnp.zeros_like(n_ref)
 
-    a = ma_ref[0]
-    b = mb_ref[0]
-    cnt = jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    shared = cnt > 0
-    ta = ta_ref[pl.ds(p, 1), :]
-    tb = tb_ref[pl.ds(p, 1), :]
-    denom = (ta[0][:, None] + tb[0][None, :] - cnt).astype(jnp.float32)
-    j = jnp.where(shared, cnt.astype(jnp.float32) / denom, 0.0)
-    s_ref[:] += j
-    n_ref[:] += shared.astype(jnp.int32)
+    _accumulate(p, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, approx)
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
-def _pallas_sn_sym(m: jax.Array, t: jax.Array, tile: int) -> tuple[jax.Array, jax.Array]:
+@functools.partial(jax.jit, static_argnames=("tile", "approx"))
+def _pallas_sn_sym(
+    m: jax.Array, t: jax.Array, tile: int, approx: bool = False
+) -> tuple[jax.Array, jax.Array]:
     """S/N with only the upper-triangle tile pairs computed (AJI is symmetric,
     interface.hpp:103-111 orders pairs a<b); the lower triangle is
     reconstructed from the transpose.  Skips nt*(nt-1)/2 of the nt^2 tiles —
@@ -135,7 +144,7 @@ def _pallas_sn_sym(m: jax.Array, t: jax.Array, tile: int) -> tuple[jax.Array, ja
         ],
     )
     s, n = pl.pallas_call(
-        _sym_kernel,
+        functools.partial(_sym_kernel, approx=approx),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((G, G), jnp.float32),
@@ -199,6 +208,7 @@ def pallas_fused_aji(
     t: jax.Array,
     tile: int | None = None,
     symmetric: bool = True,
+    approx: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused AJI via the Pallas tile kernel; pads G to the tile size.
 
@@ -206,7 +216,9 @@ def pallas_fused_aji(
     cnt == 0 everywhere -> masked J, N == 0; padded rows/cols are sliced off
     before returning.  ``symmetric`` (the all-vs-all default) computes only
     upper-triangle tile pairs and mirrors the rest — the result is identical
-    because M @ M.T is symmetric.
+    because M @ M.T is symmetric.  ``approx`` swaps the exact f32 divide for
+    the VPU's approximate reciprocal (~1e-4 relative error on AJI — fine for
+    screening ranks, off by default).
     """
     P, G, K = m.shape
     if K > MAX_K_SINGLE_BLOCK:
@@ -220,7 +232,7 @@ def pallas_fused_aji(
     if gp != G:
         m = jnp.pad(m, ((0, 0), (0, gp - G), (0, 0)))
         t = jnp.pad(t, ((0, 0), (0, gp - G)))
-    s, n = (_pallas_sn_sym if symmetric else _pallas_sn)(m, t, tile)
+    s, n = (_pallas_sn_sym if symmetric else _pallas_sn)(m, t, tile, approx)
     s = s[:G, :G]
     n = n[:G, :G]
     aji = s / n.astype(jnp.float32)

@@ -56,8 +56,11 @@ def _body(m_loc: jax.Array, t_loc: jax.Array, *, band: int):
             mp_a, mp, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
         )
         shared = cnt > 0
-        denom = (tp_a[:, None] + tp[None, :] - cnt).astype(jnp.float32)
-        j = jnp.where(shared, cnt.astype(jnp.float32) / denom, 0.0)
+        # cnt > 0 implies denom >= 1; cnt == 0 contributes 0 either way.
+        denom = jnp.maximum(tp_a[:, None] + tp[None, :] - cnt, 1).astype(
+            jnp.float32
+        )
+        j = cnt.astype(jnp.float32) / denom
         return (s + j, n + shared.astype(jnp.int32)), None
 
     g = m_loc.shape[1]

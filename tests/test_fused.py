@@ -98,6 +98,23 @@ def test_pallas_symmetric_matches_full():
     np.testing.assert_allclose(np.asarray(aji), np.asarray(ref_aji), rtol=1e-6)
 
 
+def test_pallas_approx_reciprocal_close():
+    """approx=True (VPU approximate reciprocal) must stay within screening
+    tolerance of the exact kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from parfastaai_tpu.ops.pallas_intersect import pallas_fused_aji
+
+    m, t = _rand_presence(P=3, G=24, K=256, seed=3)
+    ref_aji, _, ref_n = fused_aji(jnp.asarray(m), jnp.asarray(t))
+    with pltpu.force_tpu_interpret_mode():
+        aji, _, n = pallas_fused_aji(
+            jnp.asarray(m), jnp.asarray(t), tile=128, approx=True
+        )
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
+    np.testing.assert_allclose(np.asarray(aji), np.asarray(ref_aji), rtol=1e-3)
+
+
 def test_auto_tile_symmetric_prefers_triangle_savings():
     from parfastaai_tpu.ops.pallas_intersect import auto_tile
 

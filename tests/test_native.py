@@ -64,6 +64,27 @@ def test_unpack_presence_matches_numpy():
     np.testing.assert_array_equal(got, want)
 
 
+def test_format_row_byte_identical_to_python():
+    from parfastaai_tpu.io.fmtfloat import format_double
+    from parfastaai_tpu.native import native_format_row
+
+    rng = np.random.default_rng(42)
+    vals = np.concatenate(
+        [
+            rng.random(500),
+            rng.random(100) * 10.0 ** rng.integers(-20, 20, 100),
+            -rng.random(100),
+            np.array([0.0, -0.0, 1.0, 0.25, 1e-4, 1.0000000000000002e-4,
+                      9.999999999999999e-5, 123456789.123456, 1e16 - 2.0,
+                      1e16, np.nan, np.inf, -np.inf, 5e-324]),
+        ]
+    )
+    got = native_format_row(vals, ";")
+    assert got is not None, "native formatter failed its self-test"
+    want = ";".join(format_double(v) for v in vals).encode()
+    assert got == want
+
+
 def test_engine_uses_native_and_stays_bit_exact(subset1_db, data_dir):
     """End-to-end: with the native finish active, AJI must still equal the
     reference golden bit-for-bit."""
