@@ -325,7 +325,7 @@ def compute_sharded(
 
 
 def compute_fast(
-    presence: PresenceData, pairs: PairSpace, use_pallas: bool = False
+    presence: PresenceData, pairs: PairSpace, use_pallas: bool | None = None
 ) -> JacResult:
     """Fused f32 device path; per-pair gather on device, minimal transfer.
 
@@ -338,6 +338,13 @@ def compute_fast(
     """
     md = jnp.asarray(presence.m)
     td = jnp.asarray(presence.t)
+    if use_pallas is None:
+        # The VMEM-resident tile kernel wins once G spans multiple MXU tiles;
+        # very wide presence tensors exceed its single-block budget.
+        from .ops.pallas_intersect import MAX_K_SINGLE_BLOCK
+
+        P, G, K = presence.m.shape
+        use_pallas = K <= MAX_K_SINGLE_BLOCK and G >= 256
     if np.array_equal(pairs.denom_a, pairs.db_a) and np.array_equal(
         pairs.denom_b, pairs.db_b
     ):

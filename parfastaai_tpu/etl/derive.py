@@ -22,7 +22,7 @@ offset by |target genomes| (scp_db.hpp:402-528).
 
 from __future__ import annotations
 
-import sqlite3
+
 from itertools import combinations
 
 import numpy as np

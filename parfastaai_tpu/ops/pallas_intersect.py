@@ -23,7 +23,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import DEFAULT_TILE
 
 # One (tile, K) int8 block per side must fit VMEM comfortably:
 # 2 * 128 * 32768 = 8 MB of the ~16 MB budget.
@@ -40,15 +39,15 @@ def _accumulate(p, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, approx):
     )
     shared = cnt > 0
     # T tiles carry all P rows (TPU block shapes need >=8 sublanes); select
-    # the current protein's row dynamically.
-    ta = ta_ref[pl.ds(p, 1), :]  # (1, TILE)
+    # the current protein's row dynamically.  T arrives as f32 (exact:
+    # tetramer counts < 160000 << 2^24) so the denominator is pure f32 math —
+    # one fewer int->f32 convert per element in a VPU-bound pipeline.
+    ta = ta_ref[pl.ds(p, 1), :]  # (1, TILE) f32
     tb = tb_ref[pl.ds(p, 1), :]
+    cf = cnt.astype(jnp.float32)
     # cnt > 0 implies denom >= 1, and cnt == 0 contributes 0/denom' == 0, so
     # clamping replaces a select (the pipeline is VPU-bound, not MXU-bound).
-    denom = jnp.maximum(ta[0][:, None] + tb[0][None, :] - cnt, 1).astype(
-        jnp.float32
-    )
-    cf = cnt.astype(jnp.float32)
+    denom = jnp.maximum(ta[0][:, None] + tb[0][None, :] - cf, 1.0)
     if approx:
         j = cf * pl.reciprocal(denom, approx=True)
     else:
@@ -96,7 +95,7 @@ def _pallas_sn(
             bytes_accessed=2 * P * G * K + 8 * G * G,
             transcendentals=0,
         ),
-    )(m.astype(jnp.int8), m.astype(jnp.int8), t.astype(jnp.int32), t.astype(jnp.int32))
+    )(m.astype(jnp.int8), m.astype(jnp.int8), t.astype(jnp.float32), t.astype(jnp.float32))
     return s, n
 
 
@@ -160,8 +159,8 @@ def _pallas_sn_sym(
         jnp.asarray(cols, jnp.int32),
         m.astype(jnp.int8),
         m.astype(jnp.int8),
-        t.astype(jnp.int32),
-        t.astype(jnp.int32),
+        t.astype(jnp.float32),
+        t.astype(jnp.float32),
     )
     # Unwritten lower-triangle tiles hold garbage; every (r, c) with
     # tile(r) > tile(c) mirrors its transposed, computed entry.
