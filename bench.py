@@ -16,9 +16,9 @@ nothing can be elided or overlapped away), (b) force completion with a single
 chain, cancelling the constant download/dispatch cost.  Prints exactly one
 JSON line.
 
-Env knobs: PARFASTAAI_BENCH_G (default 2048), PARFASTAAI_BENCH_IMPL
+Env knobs: PARFASTAAI_BENCH_G (default 4096), PARFASTAAI_BENCH_IMPL
 (xla | pallas, default pallas), PARFASTAAI_BENCH_STEPS (long-chain length,
-default 64).
+default 16).
 """
 
 from __future__ import annotations
@@ -51,8 +51,8 @@ def main() -> None:
     except Exception:
         pass
 
-    g = int(os.environ.get("PARFASTAAI_BENCH_G", "2048"))
-    s_long = int(os.environ.get("PARFASTAAI_BENCH_STEPS", "64"))
+    g = int(os.environ.get("PARFASTAAI_BENCH_G", "4096"))
+    s_long = int(os.environ.get("PARFASTAAI_BENCH_STEPS", "16"))
     s_short = max(4, s_long // 8)
     impl = os.environ.get("PARFASTAAI_BENCH_IMPL", "pallas")
     P, pool, tpg = 80, 1280, 400  # pool padded 1200 -> 1280 (lane multiple)
@@ -66,6 +66,10 @@ def main() -> None:
 
         if os.environ.get("PARFASTAAI_BENCH_APPROX"):
             fn = functools.partial(fn, approx=True)
+        if os.environ.get("PARFASTAAI_BENCH_TILE"):
+            fn = functools.partial(
+                fn, tile=int(os.environ["PARFASTAAI_BENCH_TILE"])
+            )
     else:
         from parfastaai_tpu.ops.fused import fused_aji as fn
 

@@ -148,25 +148,41 @@ class SCPDatabase:
                 t[p, gid] = nbytes // 4
         return t
 
-    def load_presence(self) -> PresenceData:
-        """Build the compacted presence tensor from the '{SCP}_tetras' tables."""
-        cur = self.conn.cursor()
+    def load_presence(self, n_threads: int | None = None) -> PresenceData:
+        """Build the compacted presence tensor from the '{SCP}_tetras' tables.
+
+        Proteins are read in parallel (one read-only SQLite connection per
+        worker — SQLite supports concurrent readers, and the C library
+        releases the GIL) — the host-side analogue of the reference's
+        per-thread row streaming (ds_helper.hpp:126-162)."""
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
         P = len(self.meta.protein_set)
         G = len(self.meta.genome_set)
+        if n_threads is None:
+            n_threads = max(1, min(8, os.cpu_count() or 1))
 
-        per_protein: list[tuple[np.ndarray, list[np.ndarray]]] = []
-        widths = np.zeros(P, dtype=np.int32)
-        for p, prot in enumerate(self.meta.protein_set):
-            tets: list[int] = []
-            blobs: list[np.ndarray] = []
-            for tet, blob in cur.execute(
-                f"SELECT tetramer, genomes FROM '{prot}_tetras' ORDER BY tetramer"
-            ):
-                tets.append(tet)
-                blobs.append(_blob_to_ids(blob))
-            tet_arr = np.asarray(tets, dtype=np.int32)
-            per_protein.append((tet_arr, blobs))
-            widths[p] = len(tets)
+        def read_protein(prot: str) -> tuple[np.ndarray, list[np.ndarray]]:
+            conn = _connect(self.path)
+            try:
+                tets: list[int] = []
+                blobs: list[np.ndarray] = []
+                for tet, blob in conn.execute(
+                    f"SELECT tetramer, genomes FROM '{prot}_tetras' ORDER BY tetramer"
+                ):
+                    tets.append(tet)
+                    blobs.append(_blob_to_ids(blob))
+                return np.asarray(tets, dtype=np.int32), blobs
+            finally:
+                conn.close()
+
+        if n_threads > 1:
+            with ThreadPoolExecutor(n_threads) as ex:
+                per_protein = list(ex.map(read_protein, self.meta.protein_set))
+        else:
+            per_protein = [read_protein(prot) for prot in self.meta.protein_set]
+        widths = np.asarray([len(t) for t, _ in per_protein], dtype=np.int32)
 
         K = max(LANE, _round_up(int(widths.max()) if P else LANE, LANE))
         m = np.zeros((P, G, K), dtype=np.uint8)
