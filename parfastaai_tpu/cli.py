@@ -148,6 +148,11 @@ def run(argv: list[str] | None = None) -> int:
             presence = db.load_presence()
         db.close()
         if args.streamed:
+            mesh = None
+            if args.mesh:
+                from .parallel.mesh import make_mesh
+
+                mesh = make_mesh(int(args.mesh.split(",")[0]))
             with phase_timer("Streamed AJI + CSV ", enabled=verbose):
                 compute_streamed(
                     presence,
@@ -160,6 +165,7 @@ def run(argv: list[str] | None = None) -> int:
                     band=args.band,
                     col_chunk=args.col_chunk,
                     resume=args.resume,
+                    mesh=mesh,
                 )
             if verbose:
                 print(

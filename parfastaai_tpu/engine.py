@@ -167,6 +167,7 @@ def compute_streamed(
     band: int = 1024,
     col_chunk: int = 4096,
     resume: bool = False,
+    mesh=None,
 ) -> None:
     """Memory-bounded production path: AJI straight to CSV in row bands.
 
@@ -192,6 +193,9 @@ def compute_streamed(
         ``out_path`` are kept (a trailing partial line is truncated) and
         computation restarts at the first missing row.  The CSV itself is the
         checkpoint; there is no sidecar state.
+      mesh: optional jax Mesh with a ``rows`` axis — each band's rows are
+        sharded across the axis (presence tensor replicated), the pod-scale
+        combination of banding and data parallelism.
     """
     import jax
 
@@ -231,7 +235,7 @@ def compute_streamed(
                 return s / n.astype(np.float32), n
 
         md = td = None
-    else:
+    elif mesh is None:
         md = jnp.asarray(presence.m)
         td = jnp.asarray(presence.t)
 
@@ -242,6 +246,32 @@ def compute_streamed(
             ta = jnp.take(td, rids, axis=1)
             tb = jnp.take(td, cids, axis=1)
             s, n = fused_sn_block(ma, mb, ta, tb)
+            return s / n.astype(jnp.float32), n
+    else:
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as Spec
+
+        n_rows = mesh.shape["rows"]
+        band = -(-band // n_rows) * n_rows  # shardable bands
+        repl = NamedSharding(mesh, Spec())
+        md = jax.device_put(jnp.asarray(presence.m), repl)
+        td = jax.device_put(jnp.asarray(presence.t), repl)
+
+        @partial(jax.jit, static_argnames=("nb", "nc"))
+        def block(md, td, rids, cids, nb, nc):
+            def body(md, td, rids_loc, cids):
+                ma = jnp.take(md, rids_loc, axis=1)
+                mb = jnp.take(md, cids, axis=1)
+                ta = jnp.take(td, rids_loc, axis=1)
+                tb = jnp.take(td, cids, axis=1)
+                return fused_sn_block(ma, mb, ta, tb, vma_axes=("rows",))
+
+            s, n = shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(Spec(), Spec(), Spec("rows"), Spec()),
+                out_specs=(Spec("rows"), Spec("rows")),
+            )(md, td, rids, cids)
             return s / n.astype(jnp.float32), n
 
     header = separator + separator.join(col_names) + "\n"

@@ -63,9 +63,13 @@ def fused_aji(m: jax.Array, t: jax.Array) -> tuple[jax.Array, jax.Array, jax.Arr
     return aji, s, n
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("vma_axes",))
 def fused_sn_block(
-    ma: jax.Array, mb: jax.Array, ta: jax.Array, tb: jax.Array
+    ma: jax.Array,
+    mb: jax.Array,
+    ta: jax.Array,
+    tb: jax.Array,
+    vma_axes: tuple[str, ...] = (),
 ) -> tuple[jax.Array, jax.Array]:
     """Rectangular fused (S, N) block: genomes-A band vs genomes-B band.
 
@@ -73,6 +77,10 @@ def fused_sn_block(
     Returns (s f32 (A, B), n int32 (A, B)).  The building block of the
     streaming large-G scheduler (engine.compute_streamed) — each output band
     is O(A * B) while HBM holds only the two presence bands.
+
+    ``vma_axes``: when called inside ``shard_map`` with inputs that vary over
+    mesh axes, name those axes so the scan carry's varying-mesh-axes type
+    matches (jax requires the initial carry to be pcast to varying).
     """
 
     def step(carry, inputs):
@@ -90,6 +98,8 @@ def fused_sn_block(
 
     a, b = ma.shape[1], mb.shape[1]
     init = (jnp.zeros((a, b), jnp.float32), jnp.zeros((a, b), jnp.int32))
+    if vma_axes:
+        init = jax.lax.pcast(init, vma_axes, to="varying")
     (s, n), _ = jax.lax.scan(
         step, init, (ma.astype(jnp.int8), mb.astype(jnp.int8), ta, tb)
     )

@@ -47,6 +47,29 @@ def test_cli_mesh_flag_matches_exact(combo12_db, tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=0)
 
 
+def test_streamed_over_mesh_matches_single(combo12_db, tmp_path, monkeypatch):
+    """Streamed path with row bands sharded over a 4-device mesh must produce
+    the identical CSV to the single-device streamed path."""
+    from parfastaai_tpu.engine import compute_streamed
+    from parfastaai_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setenv("PARFASTAAI_FORCE_DEVICE", "1")
+    meta, pres = _load(combo12_db)
+    g = len(meta.genome_set)
+    ids = np.arange(g, dtype=np.int32)
+    single = tmp_path / "single.csv"
+    meshed = tmp_path / "meshed.csv"
+    compute_streamed(
+        pres, ids, ids, str(single), meta.genome_set, meta.genome_set,
+        band=4, col_chunk=8,
+    )
+    compute_streamed(
+        pres, ids, ids, str(meshed), meta.genome_set, meta.genome_set,
+        band=4, col_chunk=8, mesh=make_mesh(4),
+    )
+    assert meshed.read_bytes() == single.read_bytes()
+
+
 def test_cli_streamed_all_modes(combo12_db, subset1_db, subset2_db, tmp_path):
     """--streamed output matches the exact CSV (f32 tolerance) in all three
     modes, with tiny bands to exercise the block loops."""
