@@ -101,6 +101,16 @@ def build_parser() -> argparse.ArgumentParser:
             "device)"
         ),
     )
+    p.add_argument(
+        "--dump-jac",
+        default="",
+        metavar="PATH",
+        help=(
+            "Also write the per-pair JAC tuples (genomeA, genomeB, S, N, AJI) "
+            "as CSV — the reference's debug print_aji/getJAC surface "
+            "(algorithm_impl.hpp:331-356)"
+        ),
+    )
     p.add_argument("--quiet", action="store_true", help="Suppress phase timing output")
     p.add_argument("--version", action="version", version=__version__)
     return p
@@ -186,6 +196,17 @@ def run(argv: list[str] | None = None) -> int:
             write_aji_csv(
                 args.path_to_output_file, pairs, result.aji, args.separator
             )
+        if args.dump_jac:
+            from .io.fmtfloat import format_double
+
+            with open(args.dump_jac, "w") as fp:
+                fp.write("genomeA,genomeB,S,N,AJI\n")
+                for i in range(result.n_pairs):
+                    fp.write(
+                        f"{result.genome_a[i]},{result.genome_b[i]},"
+                        f"{format_double(result.s[i])},{result.n[i]},"
+                        f"{format_double(result.aji[i])}\n"
+                    )
         if verbose:
             print(
                 f"Wrote {result.n_pairs} genome-pair AJI values "

@@ -62,6 +62,31 @@ def test_bad_query_list_cli(data_dir, tmp_path, combo12_db, capsys):
     assert not out.exists()
 
 
+def test_dump_jac_flag(data_dir, tmp_path):
+    """--dump-jac writes the per-pair JAC tuples matching the golden JAC
+    archive (S within the reference's own 1e-7 JACTuple tolerance; here the
+    engine is bit-exact so the strings round-trip exactly)."""
+    import numpy as np
+
+    from parfastaai_tpu.cli import run
+    from parfastaai_tpu.etl.goldens import read_jac_vector
+
+    out = tmp_path / "aji.csv"
+    jac = tmp_path / "jac.csv"
+    assert run(
+        [f"{data_dir}/xdb_subset1.db", str(out), "--quiet",
+         "--dump-jac", str(jac)]
+    ) == 0
+    golden = read_jac_vector(f"{data_dir}/xdb_subset1_jac.bin")
+    lines = jac.read_text().splitlines()
+    assert lines[0] == "genomeA,genomeB,S,N,AJI"
+    assert len(lines) - 1 == len(golden)
+    for line, g in zip(lines[1:], golden):
+        ga, gb, s, n, _ = line.split(",")
+        assert (int(ga), int(gb), int(n)) == (g["genome_a"], g["genome_b"], g["n"])
+        assert float(s) == g["s"]
+
+
 def test_separator_flag(data_dir, tmp_path):
     out = tmp_path / "tab.csv"
     rc = run([f"{data_dir}/xdb_subset1.db", str(out), "-s", "\t", "--quiet"])
