@@ -366,24 +366,29 @@ def compute_fast(
     denom != db ids.  For all-vs-all / query-subset, denom == db ids and the
     fully fused path applies.
     """
-    md = jnp.asarray(presence.m)
-    td = jnp.asarray(presence.t)
-    if use_pallas is None:
-        # The VMEM-resident tile kernel wins once G spans multiple MXU tiles;
-        # very wide presence tensors exceed its single-block budget.
-        from .ops.pallas_intersect import MAX_K_SINGLE_BLOCK
+    from .etl.database import bucketize_presence
+    from .ops.pallas_intersect import MAX_K_SINGLE_BLOCK, pallas_fused_aji
 
-        P, G, K = presence.m.shape
-        use_pallas = K <= MAX_K_SINGLE_BLOCK and G >= 256
+    G = presence.m.shape[1]
     if np.array_equal(pairs.denom_a, pairs.db_a) and np.array_equal(
         pairs.denom_b, pairs.db_b
     ):
-        if use_pallas:
-            from .ops.pallas_intersect import pallas_fused_aji
-
-            _, s_mat, n_mat = pallas_fused_aji(md, td)
-        else:
-            _, s_mat, n_mat = fused_aji(md, td)
+        # Width-bucketed execution: real databases' per-protein widths vary
+        # ~10x, so contracting every protein at the global max K wastes ~2/3
+        # of the MXU work; each bucket runs at its own K and the (S, N)
+        # accumulators sum (counts are integers — only f32 S order changes).
+        s_mat = n_mat = None
+        for _, m_b, t_b in bucketize_presence(presence):
+            kb = m_b.shape[2]
+            pall = (
+                use_pallas
+                if use_pallas is not None
+                else kb <= MAX_K_SINGLE_BLOCK and G >= 256
+            )
+            fn = pallas_fused_aji if pall else fused_aji
+            _, s_b, n_b = fn(jnp.asarray(m_b), jnp.asarray(t_b))
+            s_mat = s_b if s_mat is None else s_mat + s_b
+            n_mat = n_b if n_mat is None else n_mat + n_b
         a = jnp.asarray(pairs.db_a)
         b = jnp.asarray(pairs.db_b)
         s = np.asarray(s_mat[a, b], dtype=np.float64)
@@ -391,7 +396,9 @@ def compute_fast(
     else:
         counts = np.asarray(
             pair_counts_device(
-                md, jnp.asarray(pairs.db_a), jnp.asarray(pairs.db_b)
+                jnp.asarray(presence.m),
+                jnp.asarray(pairs.db_a),
+                jnp.asarray(pairs.db_b),
             )
         )
         t = presence.t.astype(np.int64)

@@ -312,6 +312,70 @@ class QueryTargetDatabase:
         )
 
 
+def bucketize_presence(
+    presence: PresenceData, max_buckets: int = 4, lane: int = LANE
+) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Group proteins into width buckets to cut MXU padding waste.
+
+    The compacted per-protein widths vary ~10x in real databases (e.g.
+    58..558 across xdb_subset1's 79 SCPs), so a single K = max(width) pads
+    ~69% of the contraction axis with zeros.  Sorting proteins by width and
+    partitioning them into <= max_buckets contiguous groups — split points
+    chosen by exact DP minimizing total padded work sum(|group| *
+    roundup(max_width, lane)) — lets each group contract at its own K.
+
+    Returns [(protein_idx, m_b, t_b)] with m_b = (Pb, G, Kb) uint8 slices;
+    every protein appears in exactly one bucket.  Union of the buckets'
+    Gram counts equals the unbucketed counts exactly (integer math), so only
+    the f32 S accumulation order changes (~1e-7, same as any fused path).
+    """
+    P = presence.m.shape[0]
+    widths = presence.widths
+    order = np.argsort(widths, kind="stable").astype(np.int32)
+    w = widths[order]
+
+    def padded(width: int) -> int:
+        return max(lane, _round_up(int(width), lane))
+
+    B = min(max_buckets, P)
+    # cost[i][j]: minimal padded work for proteins [0, i) using j buckets.
+    INF = float("inf")
+    cost = [[INF] * (B + 1) for _ in range(P + 1)]
+    split = [[0] * (B + 1) for _ in range(P + 1)]
+    cost[0][0] = 0
+    for i in range(1, P + 1):
+        for j in range(1, B + 1):
+            for k in range(j - 1, i):
+                # group = sorted proteins [k, i); its K = padded(w[i-1])
+                c = cost[k][j - 1] + (i - k) * padded(w[i - 1])
+                if c < cost[i][j]:
+                    cost[i][j] = c
+                    split[i][j] = k
+    j = min(B, P)
+    while cost[P][j - 1] <= cost[P][j] and j > 1:
+        j -= 1
+    bounds = []
+    i = P
+    while j > 0:
+        k = split[i][j]
+        bounds.append((k, i))
+        i, j = k, j - 1
+    bounds.reverse()
+
+    out = []
+    for k, i in bounds:
+        idx = order[k:i]
+        kb = padded(w[i - 1])
+        out.append(
+            (
+                idx,
+                np.ascontiguousarray(presence.m[idx, :, :kb]),
+                np.ascontiguousarray(presence.t[idx]),
+            )
+        )
+    return out
+
+
 def validate_tetramer_range(tetramer_ids: list[np.ndarray]) -> None:
     """Sanity check: every tetramer id must lie in [0, NTETRAMERS)."""
     for p, tets in enumerate(tetramer_ids):
