@@ -102,6 +102,15 @@ def build_parser() -> argparse.ArgumentParser:
         ),
     )
     p.add_argument(
+        "--profile",
+        default="",
+        metavar="DIR",
+        help=(
+            "Capture a JAX profiler trace of the compute phase into DIR "
+            "(view with TensorBoard / xprof)"
+        ),
+    )
+    p.add_argument(
         "--dump-jac",
         default="",
         metavar="PATH",
@@ -157,6 +166,11 @@ def run(argv: list[str] | None = None) -> int:
         with phase_timer("Presence ETL       ", enabled=verbose):
             presence = db.load_presence()
         db.close()
+        profiler = None
+        if args.profile:
+            import jax.profiler as profiler
+
+            profiler.start_trace(args.profile)
         if args.streamed:
             mesh = None
             if args.mesh:
@@ -177,6 +191,8 @@ def run(argv: list[str] | None = None) -> int:
                     resume=args.resume,
                     mesh=mesh,
                 )
+            if profiler is not None:
+                profiler.stop_trace()
             if verbose:
                 print(
                     f"Wrote {len(pairs.query_names)} x {len(pairs.target_names)} "
@@ -192,6 +208,8 @@ def run(argv: list[str] | None = None) -> int:
                 result = compute_fast(presence, pairs)
             else:
                 result = compute(presence, pairs)
+        if profiler is not None:
+            profiler.stop_trace()
         with phase_timer("CSV write          ", enabled=verbose):
             write_aji_csv(
                 args.path_to_output_file, pairs, result.aji, args.separator

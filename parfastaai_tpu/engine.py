@@ -236,29 +236,54 @@ def compute_streamed(
 
         md = td = None
     elif mesh is None:
-        md = jnp.asarray(presence.m)
-        td = jnp.asarray(presence.t)
+        from .etl.database import bucketize_presence
+
+        # Width buckets cut padded MXU work ~2.3x on real databases (see
+        # bucketize_presence); each bucket is a separate device tensor and
+        # jit specialization, (S, N) summed across buckets per block.
+        buckets = [
+            (jnp.asarray(m_b), jnp.asarray(t_b))
+            for _, m_b, t_b in bucketize_presence(presence)
+        ]
 
         @partial(jax.jit, static_argnames=("nb", "nc"))
-        def block(md, td, rids, cids, nb, nc):
+        def bucket_sn(md, td, rids, cids, nb, nc):
             ma = jnp.take(md, rids, axis=1)
             mb = jnp.take(md, cids, axis=1)
             ta = jnp.take(td, rids, axis=1)
             tb = jnp.take(td, cids, axis=1)
-            s, n = fused_sn_block(ma, mb, ta, tb)
+            return fused_sn_block(ma, mb, ta, tb)
+
+        def block(_md, _td, rids, cids, nb, nc):
+            s = n = None
+            for md_b, td_b in buckets:
+                s_b, n_b = bucket_sn(md_b, td_b, rids, cids, nb, nc)
+                s = s_b if s is None else s + s_b
+                n = n_b if n is None else n + n_b
             return s / n.astype(jnp.float32), n
+
+        md = td = None
     else:
         from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as Spec
 
+        from .etl.database import bucketize_presence
+
         n_rows = mesh.shape["rows"]
         band = -(-band // n_rows) * n_rows  # shardable bands
         repl = NamedSharding(mesh, Spec())
-        md = jax.device_put(jnp.asarray(presence.m), repl)
-        td = jax.device_put(jnp.asarray(presence.t), repl)
+        # Same width buckets (and bucket order) as the single-device branch,
+        # so the f32 accumulation order — and the bytes — are identical.
+        buckets = [
+            (
+                jax.device_put(jnp.asarray(m_b), repl),
+                jax.device_put(jnp.asarray(t_b), repl),
+            )
+            for _, m_b, t_b in bucketize_presence(presence)
+        ]
 
         @partial(jax.jit, static_argnames=("nb", "nc"))
-        def block(md, td, rids, cids, nb, nc):
+        def bucket_sn(md, td, rids, cids, nb, nc):
             def body(md, td, rids_loc, cids):
                 ma = jnp.take(md, rids_loc, axis=1)
                 mb = jnp.take(md, cids, axis=1)
@@ -266,13 +291,22 @@ def compute_streamed(
                 tb = jnp.take(td, cids, axis=1)
                 return fused_sn_block(ma, mb, ta, tb, vma_axes=("rows",))
 
-            s, n = shard_map(
+            return shard_map(
                 body,
                 mesh=mesh,
                 in_specs=(Spec(), Spec(), Spec("rows"), Spec()),
                 out_specs=(Spec("rows"), Spec("rows")),
             )(md, td, rids, cids)
+
+        def block(_md, _td, rids, cids, nb, nc):
+            s = n = None
+            for md_b, td_b in buckets:
+                s_b, n_b = bucket_sn(md_b, td_b, rids, cids, nb, nc)
+                s = s_b if s is None else s + s_b
+                n = n_b if n is None else n + n_b
             return s / n.astype(jnp.float32), n
+
+        md = td = None
 
     header = separator + separator.join(col_names) + "\n"
     rows_done = _resume_point(out_path, header, band) if resume else 0

@@ -161,7 +161,12 @@ class SCPDatabase:
         P = len(self.meta.protein_set)
         G = len(self.meta.genome_set)
         if n_threads is None:
-            n_threads = max(1, min(8, os.cpu_count() or 1))
+            # PARFASTAAI_ETL_THREADS mirrors the reference's OMP_NUM_THREADS
+            # control of its row-streaming phase (README.md:97-102).
+            env = os.environ.get("PARFASTAAI_ETL_THREADS")
+            n_threads = (
+                int(env) if env else max(1, min(8, os.cpu_count() or 1))
+            )
 
         def read_protein(prot: str) -> tuple[np.ndarray, list[np.ndarray]]:
             conn = _connect(self.path)
