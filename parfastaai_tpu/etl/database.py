@@ -94,13 +94,25 @@ def _scatter_presence(m_p: np.ndarray, blobs: list[np.ndarray]) -> None:
     """Scatter one protein's genome-id blobs into its (G, K) presence slice:
     column j gets a 1 at each id in blobs[j].  Native C++/OpenMP when
     available (the reference's constructF analogue, ds_helper.hpp:126-162),
-    NumPy otherwise."""
+    NumPy otherwise.
+
+    Genome ids are bounds-checked first: the native kernel writes at
+    ``id * K + j`` unguarded, so a corrupt database must be rejected here,
+    not discovered as memory corruption."""
     from ..native import native_unpack_presence
 
     if blobs:
         offsets = np.zeros(len(blobs) + 1, dtype=np.int64)
         np.cumsum([len(b) for b in blobs], out=offsets[1:])
         gids = np.concatenate(blobs) if offsets[-1] else np.empty(0, np.int32)
+        if len(gids) and (
+            int(gids.min()) < 0 or int(gids.max()) >= m_p.shape[0]
+        ):
+            raise PFAAIError(
+                ErrorCode.CONSTRUCT_ERROR,
+                f"Corrupt database: genome id outside [0, {m_p.shape[0]}) "
+                "in a tetramer blob",
+            )
         if native_unpack_presence(gids, offsets, m_p):
             return
     for j, gids in enumerate(blobs):
@@ -179,6 +191,12 @@ class SCPDatabase:
                     tets.append(tet)
                     blobs.append(_blob_to_ids(blob))
                 return np.asarray(tets, dtype=np.int32), blobs
+            except (sqlite3.Error, ValueError) as e:
+                # Missing '{SCP}_tetras' table, malformed blob length, etc.
+                raise PFAAIError(
+                    ErrorCode.SQLITE_DB_ERROR,
+                    f"Failed reading protein {prot!r} from {self.path}: {e}",
+                )
             finally:
                 conn.close()
 

@@ -1,6 +1,8 @@
 """ETL parity: metadata, T matrix, presence tensors vs the bundled goldens
 (mirrors the reference DB-layer unit tests, tests/pfaai_tests.cpp:122-171)."""
 
+import sqlite3
+
 import numpy as np
 import pytest
 
@@ -71,3 +73,45 @@ def test_qt_presence_rowsums(subset1_db, subset2_db):
 def test_missing_db_raises():
     with pytest.raises(PFAAIError):
         SCPDatabase("/nonexistent/no.db")
+
+
+def _copy_db(src, dst):
+    import shutil
+
+    shutil.copy(src, dst)
+    return str(dst)
+
+
+def test_corrupt_genome_id_rejected(subset1_db, tmp_path):
+    """A tetramer blob with an out-of-range genome id must raise a clean
+    PFAAIError, never reach the (unguarded) native scatter."""
+    path = _copy_db(subset1_db, tmp_path / "corrupt.db")
+    conn = sqlite3.connect(path)
+    prot = conn.execute("SELECT DISTINCT SCP_acc FROM scp_data").fetchone()[0]
+    tet = conn.execute(f"SELECT tetramer FROM '{prot}_tetras' LIMIT 1").fetchone()[0]
+    bad = np.asarray([0, 9999], dtype="<i4").tobytes()
+    conn.execute(f"UPDATE '{prot}_tetras' SET genomes=? WHERE tetramer=?", (bad, tet))
+    conn.commit()
+    conn.close()
+    db = SCPDatabase(path)
+    with pytest.raises(PFAAIError, match="genome id outside"):
+        db.load_presence()
+    db.close()
+
+
+def test_malformed_blob_rejected(subset1_db, tmp_path):
+    """A blob whose byte length is not a multiple of 4 must raise a clean
+    PFAAIError from the reader."""
+    path = _copy_db(subset1_db, tmp_path / "malformed.db")
+    conn = sqlite3.connect(path)
+    prot = conn.execute("SELECT DISTINCT SCP_acc FROM scp_data").fetchone()[0]
+    tet = conn.execute(f"SELECT tetramer FROM '{prot}_tetras' LIMIT 1").fetchone()[0]
+    conn.execute(
+        f"UPDATE '{prot}_tetras' SET genomes=? WHERE tetramer=?", (b"abc", tet)
+    )
+    conn.commit()
+    conn.close()
+    db = SCPDatabase(path)
+    with pytest.raises(PFAAIError, match="Failed reading protein"):
+        db.load_presence()
+    db.close()
