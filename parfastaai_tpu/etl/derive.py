@@ -87,6 +87,89 @@ def derive_single(db: SCPDatabase):
     return lc, lp, f, e[order]
 
 
+def derive_pair_extents(
+    e: np.ndarray, n_pairs: int, pair_slot
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-genome-pair INCLUSIVE [start, end] extents in the sorted E array
+    (reference findEBlockExtents, algorithm_impl.hpp:123-219; goldens
+    xanthodb_gpe_starts/ends.bin).
+
+    ``pair_slot(genome_a, genome_b)`` maps pair labels to JAC slot indices
+    (the reference's genomePairToIndex).  Pairs with no E block keep -1.
+    """
+    starts = np.full(n_pairs, -1, dtype=np.int32)
+    ends = np.full(n_pairs, -1, dtype=np.int32)
+    if len(e) == 0:
+        return starts, ends
+    change = np.flatnonzero((np.diff(e[:, 1]) != 0) | (np.diff(e[:, 2]) != 0))
+    bs = np.concatenate(([0], change + 1)).astype(np.int32)
+    be = np.concatenate((change, [len(e) - 1])).astype(np.int32)
+    slots = pair_slot(e[bs, 1], e[bs, 2])
+    starts[slots] = bs
+    ends[slots] = be
+    return starts, ends
+
+
+def distribute_bags_of_tasks(
+    nproc: int, ntasks: int, bag_sizes: np.ndarray, slack: float = 0.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy contiguous weighted partition of bags over nproc workers —
+    exact replica of the reference scheduler (utils.hpp:66-95 /
+    ds_helper.hpp:167-201), including its float32 per-worker quota.  Returns
+    (bag_starts, bag_ends), inclusive, -1 for workers given no bags."""
+    quota = int(
+        np.float32(np.float32(ntasks) / np.float32(nproc))
+        * np.float32(1.0 + slack)
+    )
+    starts = np.full(nproc, -1, dtype=np.int64)
+    ends = np.full(nproc, -1, dtype=np.int64)
+    filled = np.zeros(nproc, dtype=np.int64)
+    pid = 0
+    for bag_id, size in enumerate(bag_sizes):
+        if filled[pid] + size <= quota or pid == nproc - 1:
+            filled[pid] += size
+            if starts[pid] == -1:
+                starts[pid] = bag_id
+            ends[pid] = bag_id
+        else:
+            pid += 1
+            filled[pid] += size
+            starts[pid] = bag_id
+            ends[pid] = bag_id
+    return starts, ends
+
+
+def derive_thread_slabs(
+    lc: np.ndarray, f: np.ndarray, n_threads: int, slack: float = 0.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-thread E-slab (starts, sizes) for all-vs-all semantics — the
+    layout recorded in xanthodb_e_starts/e_size.bin (reference constructE,
+    ds_helper.hpp:362-421: tetramers partitioned by Lc weight with |F| as the
+    task total, then countTetramerTuples per range with
+    countGenomePairs(n) = n(n-1)/2)."""
+    occ = np.flatnonzero(lc)
+    tet_of_row = np.repeat(occ.astype(np.int64), lc[occ])
+    prots = f[:, 0].astype(np.int64)
+    change = np.flatnonzero((np.diff(tet_of_row) != 0) | (np.diff(prots) != 0))
+    run_start = np.concatenate(([0], change + 1))
+    run_end = np.concatenate((change + 1, [len(f)]))
+    n = run_end - run_start
+    tuples_per_tet = np.zeros(len(lc), dtype=np.int64)
+    np.add.at(tuples_per_tet, tet_of_row[run_start], n * (n - 1) // 2)
+
+    bag_starts, bag_ends = distribute_bags_of_tasks(
+        n_threads, int(lc.sum()), lc, slack
+    )
+    cum = np.concatenate(([0], np.cumsum(tuples_per_tet)))
+    sizes = np.zeros(n_threads, dtype=np.int32)
+    for tid in range(n_threads):
+        if bag_starts[tid] >= 0:
+            sizes[tid] = cum[bag_ends[tid] + 1] - cum[bag_starts[tid]]
+    starts = np.zeros(n_threads, dtype=np.int32)
+    np.cumsum(sizes[:-1], out=starts[1:])
+    return starts, sizes
+
+
 def derive_qt(db: QueryTargetDatabase):
     """(Lc, Lp, F, E) for the two-database mode.
 
