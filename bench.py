@@ -8,13 +8,19 @@ OpenMP reference achieves 133.1 pairs/s on this host (2 threads) and our
 exact CLI path is byte-identical to the reference binary's CSV.
 
 Timing protocol: this environment's TPU relay acks block_until_ready without
-waiting for device completion, and device->host transfers have large variable
-latency.  So we (a) chain iterations *data-dependently* inside one jitted
-lax.scan (each step flips presence bits based on the previous step's result —
-nothing can be elided or overlapped away), (b) force completion with a single
-4-byte scalar download, and (c) report the SLOPE between a short and a long
-chain, cancelling the constant download/dispatch cost.  Prints exactly one
-JSON line.
+waiting for device completion, device->host transfers have large variable
+latency, there is a ~20-25 ms fixed dispatch cost per top-level execution,
+and — measured directly — the relay can serve a REPEATED identical execution
+from cache in milliseconds (8 chained G=1024 kernels returned in 0.13 s,
+17x over the chip's int8 peak, after the same chain had run once).  So we
+(a) salt every timed execution (a per-call counter XORed into the presence
+tensor before the first step) so no two executions are ever identical,
+(b) chain iterations *data-dependently* inside one jitted lax.scan (each
+step flips presence bits based on the previous step's result — nothing can
+be elided, overlapped, or replayed away), (c) force completion with a
+single 4-byte scalar download, and (d) report the SLOPE between a short and
+a long chain, cancelling the constant download/dispatch cost.  Prints
+exactly one JSON line.
 
 Env knobs: PARFASTAAI_BENCH_G (default 4096), PARFASTAAI_BENCH_IMPL
 (xla | pallas, default pallas), PARFASTAAI_BENCH_STEPS (long-chain length,
@@ -77,7 +83,14 @@ def main() -> None:
     td = jax.device_put(jnp.asarray(t))
 
     @functools.partial(jax.jit, static_argnames="steps")
-    def chain(md, td, steps):
+    def chain(md, td, salt, steps):
+        # Salt the tensor BEFORE the first step: every timed execution sees
+        # unique content, so a replay cache cannot serve any part of it.
+        mdl = md ^ (
+            ((jnp.arange(md.shape[1]) + salt) % 3 == 0)
+            .astype(jnp.int8)[None, :, None]
+        )
+
         def body(carry, _):
             mdl, tdl = carry
             aji, s, n = fn(mdl, tdl)
@@ -85,15 +98,19 @@ def main() -> None:
             mdl = mdl ^ (n[0, :] % 2).astype(jnp.int8)[None, :, None]
             return (mdl, tdl), aji[0, 0]
 
-        (_, _), outs = jax.lax.scan(body, (md, td), None, length=steps)
+        (_, _), outs = jax.lax.scan(body, (mdl, td), None, length=steps)
         return outs[-1]
 
+    salt_box = [0]
+
     def timed(steps: int) -> float:
-        float(chain(md, td, steps=steps))  # compile + warm
+        float(chain(md, td, jnp.int32(salt_box[0]), steps=steps))  # compile
         best = float("inf")
         for _ in range(3):
+            salt_box[0] += 1
+            salt = jnp.int32(salt_box[0])
             t0 = time.perf_counter()
-            float(chain(md, td, steps=steps))  # scalar download = real sync
+            float(chain(md, td, salt, steps=steps))  # scalar sync
             best = min(best, time.perf_counter() - t0)
         return best
 

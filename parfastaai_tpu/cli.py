@@ -19,7 +19,7 @@ from .engine import compute, compute_fast, compute_sharded, compute_streamed
 from .etl.database import QueryTargetDatabase, SCPDatabase
 from .io.csv_writer import write_aji_csv
 from .modes import all_vs_all, query_subset, query_target
-from .types import PFAAIError
+from .types import ErrorCode, PFAAIError
 from .utils.timing import phase_timer
 
 
@@ -120,6 +120,18 @@ def build_parser() -> argparse.ArgumentParser:
             "(algorithm_impl.hpp:331-356)"
         ),
     )
+    p.add_argument(
+        "--dump-e",
+        default="",
+        metavar="PATH",
+        help=(
+            "Also write the sorted E array (proteinIndex, genomeA, genomeB) "
+            "as CSV — the reference's debug print_e surface "
+            "(algorithm_impl.hpp:331-343), re-derived host-side; "
+            "all-vs-all and two-database modes only (E is a parity artifact, "
+            "never materialized on the production path)"
+        ),
+    )
     p.add_argument("--quiet", action="store_true", help="Suppress phase timing output")
     p.add_argument("--version", action="version", version=__version__)
     return p
@@ -165,6 +177,20 @@ def run(argv: list[str] | None = None) -> int:
 
         with phase_timer("Presence ETL       ", enabled=verbose):
             presence = db.load_presence()
+        if args.dump_e:
+            if args.query_subset:
+                raise PFAAIError(
+                    ErrorCode.CONSTRUCT_ERROR,
+                    "--dump-e supports all-vs-all and two-database modes only",
+                )
+            from .etl.derive import derive_qt, derive_single
+
+            with phase_timer("E derivation       ", enabled=verbose):
+                _, _, _, e = (derive_qt if two_db else derive_single)(db)
+                with open(args.dump_e, "w") as fp:
+                    fp.write("proteinIndex,genomeA,genomeB\n")
+                    for row in e:
+                        fp.write(f"{row[0]},{row[1]},{row[2]}\n")
         db.close()
         profiler = None
         if args.profile:

@@ -92,3 +92,31 @@ def test_separator_flag(data_dir, tmp_path):
     rc = run([f"{data_dir}/xdb_subset1.db", str(out), "-s", "\t", "--quiet"])
     assert rc == 0
     assert "\t" in out.read_text().splitlines()[0]
+
+
+def test_dump_e_flag(data_dir, tmp_path):
+    """--dump-e writes the sorted E array equal to the golden archive
+    (reference print_e, algorithm_impl.hpp:331-343)."""
+    out = tmp_path / "aji.csv"
+    e_csv = tmp_path / "e.csv"
+    assert run(
+        [f"{data_dir}/xdb_subset1.db", str(out), "--quiet",
+         "--dump-e", str(e_csv)]
+    ) == 0
+    lines = e_csv.read_text().splitlines()
+    assert lines[0] == "proteinIndex,genomeA,genomeB"
+    e = np.array([[int(x) for x in ln.split(",")] for ln in lines[1:]])
+    golden = goldens.read_triple_vector(
+        f"{data_dir}/xdb_subset1_sorted_e_array.bin"
+    )
+    np.testing.assert_array_equal(e, golden)
+
+
+def test_dump_e_rejected_for_qsub(data_dir, tmp_path, combo12_db):
+    queries = tmp_path / "q.txt"
+    queries.write_text("Xanthomonas_albilineans_GCA_000962915_1.fna.gz\n")
+    rc = run(
+        [combo12_db, str(tmp_path / "o.csv"), "-q", str(queries), "--quiet",
+         "--dump-e", str(tmp_path / "e.csv")]
+    )
+    assert rc == 3
