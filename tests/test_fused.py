@@ -129,3 +129,24 @@ def test_pallas_rejects_oversized_k():
     t = jnp.zeros((1, 8), jnp.int32)
     with pytest.raises(ValueError):
         pallas_fused_aji(m, t)
+
+
+def test_pallas_packed_exact_match():
+    """packed=True (two presence columns per HBM byte, in-kernel nibble
+    unpack) must produce bit-identical counts -> identical S/N; odd K
+    exercises the pad-one-column path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from parfastaai_tpu.ops.pallas_intersect import pallas_fused_aji
+
+    for G, K, tile in ((12, 256, 128), (300, 255, 128)):
+        m, t = _rand_presence(P=3, G=G, K=K, seed=4)
+        with pltpu.force_tpu_interpret_mode():
+            ref_aji, ref_s, ref_n = pallas_fused_aji(
+                jnp.asarray(m), jnp.asarray(t), tile=tile, packed=False
+            )
+            aji, s, n = pallas_fused_aji(
+                jnp.asarray(m), jnp.asarray(t), tile=tile, packed=True
+            )
+        np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(ref_s))
