@@ -65,7 +65,10 @@ def _gram(a, b, packed):
     )
 
 
-def _accumulate(p, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, approx, packed):
+def _accumulate(
+    p, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, approx, packed,
+    precise=False,
+):
     """Shared kernel body: one protein's int8 Gram product + Jaccard
     accumulation into the VMEM-resident (S, N) tile."""
     a = ma_ref[0]  # (TILE, K[/2]) int8
@@ -83,15 +86,26 @@ def _accumulate(p, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, approx, packed)
     # clamping replaces a select (the pipeline is VPU-bound, not MXU-bound).
     denom = jnp.maximum(ta[0][:, None] + tb[0][None, :] - cf, 1.0)
     if approx:
+        # Raw lookup reciprocal: 1.6e-5 max rel err, fastest (measured
+        # 1037M pairs/s at G=4096 tile=512).
         j = cf * pl.reciprocal(denom, approx=True)
-    else:
+    elif precise:
+        # IEEE f32 divide: 5.9e-8 (1 ulp), slowest (845M pairs/s) — the
+        # divide dominates this VPU-bound pipeline.
         j = cf / denom
+    else:
+        # Default: one Newton step on the lookup reciprocal — 1.4e-7 max rel
+        # err (the f32-divide class, within the fused path's ~1e-7 contract)
+        # at 1016M pairs/s, +20% over the divide.
+        r = pl.reciprocal(denom, approx=True)
+        r = r * (2.0 - denom * r)
+        j = cf * r
     s_ref[:] += j
     n_ref[:] += shared.astype(jnp.int32)
 
 
 def _kernel(ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, *, approx=False,
-            packed=False):
+            packed=False, precise=False):
     p = pl.program_id(2)
 
     @pl.when(p == 0)
@@ -99,13 +113,16 @@ def _kernel(ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, *, approx=False,
         s_ref[:] = jnp.zeros_like(s_ref)
         n_ref[:] = jnp.zeros_like(n_ref)
 
-    _accumulate(p, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, approx, packed)
+    _accumulate(p, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, approx,
+                packed, precise)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "approx", "packed"))
+@functools.partial(
+    jax.jit, static_argnames=("tile", "approx", "packed", "precise")
+)
 def _pallas_sn(
     m: jax.Array, t: jax.Array, tile: int, approx: bool = False,
-    packed: bool = False,
+    packed: bool = False, precise: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     P, G, K = m.shape
     m = m.astype(jnp.int8)
@@ -114,7 +131,9 @@ def _pallas_sn(
     kb = m.shape[2]
     grid = (G // tile, G // tile, P)
     s, n = pl.pallas_call(
-        functools.partial(_kernel, approx=approx, packed=packed),
+        functools.partial(
+            _kernel, approx=approx, packed=packed, precise=precise
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile, kb), lambda i, j, p: (p, i, 0)),
@@ -141,7 +160,7 @@ def _pallas_sn(
 
 def _sym_kernel(
     rows_ref, cols_ref, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, *,
-    approx=False, packed=False,
+    approx=False, packed=False, precise=False,
 ):
     """Upper-triangle variant: grid (tile-pair, protein); the tile-pair's
     (row, col) block indices come from the scalar-prefetched maps."""
@@ -152,13 +171,16 @@ def _sym_kernel(
         s_ref[:] = jnp.zeros_like(s_ref)
         n_ref[:] = jnp.zeros_like(n_ref)
 
-    _accumulate(p, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, approx, packed)
+    _accumulate(p, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, approx,
+                packed, precise)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "approx", "packed"))
+@functools.partial(
+    jax.jit, static_argnames=("tile", "approx", "packed", "precise")
+)
 def _pallas_sn_sym(
     m: jax.Array, t: jax.Array, tile: int, approx: bool = False,
-    packed: bool = False,
+    packed: bool = False, precise: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """S/N with only the upper-triangle tile pairs computed (AJI is symmetric,
     interface.hpp:103-111 orders pairs a<b); the lower triangle is
@@ -189,7 +211,9 @@ def _pallas_sn_sym(
         ],
     )
     s, n = pl.pallas_call(
-        functools.partial(_sym_kernel, approx=approx, packed=packed),
+        functools.partial(
+            _sym_kernel, approx=approx, packed=packed, precise=precise
+        ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((G, G), jnp.float32),
@@ -255,6 +279,7 @@ def pallas_fused_aji(
     symmetric: bool = True,
     approx: bool = False,
     packed: bool = False,
+    precise: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused AJI via the Pallas tile kernel; pads G to the tile size.
 
@@ -287,7 +312,7 @@ def pallas_fused_aji(
         m = jnp.pad(m, ((0, 0), (0, gp - G), (0, 0)))
         t = jnp.pad(t, ((0, 0), (0, gp - G)))
     s, n = (_pallas_sn_sym if symmetric else _pallas_sn)(
-        m, t, tile=tile, approx=approx, packed=packed
+        m, t, tile=tile, approx=approx, packed=packed, precise=precise
     )
     s = s[:G, :G]
     n = n[:G, :G]
