@@ -80,3 +80,63 @@ def test_refuses_overwrite(combo12_db, tmp_path):
     dst.write_bytes(b"")
     with pytest.raises(FileExistsError):
         build_subset_db(combo12_db, str(dst), SUBSET1_NAMES)
+
+
+def test_rebuild_roundtrip_on_synthetic_db(tmp_path):
+    """rebuild_master_db is generic: deriving F/Lc from any database and
+    rebuilding reproduces the engine-visible tables exactly (not just the
+    xanthodb fixtures)."""
+    import sqlite3
+
+    import numpy as np
+
+    from parfastaai_tpu.etl.database import SCPDatabase
+    from parfastaai_tpu.etl.derive import derive_single
+    from parfastaai_tpu.tools.rebuild_master_db import rebuild_master_db
+    from parfastaai_tpu.tools.synth_db import generate
+
+    src = str(tmp_path / "synth.db")
+    generate(src, n_genomes=9, n_proteins=5, pool_size=300,
+             tetras_per_genome=120, seed=3)
+    db = SCPDatabase(src)
+    lc, _, f, _ = derive_single(db)
+    names = list(db.meta.genome_set)
+    prots = list(db.meta.protein_set)
+    db.close()
+
+    # Write the goldens the tool consumes (cereal vector layout).
+    import struct
+
+    def write_vec(path, arr):
+        with open(path, "wb") as fp:
+            fp.write(struct.pack("<Q", arr.shape[0]))
+            fp.write(np.ascontiguousarray(arr, dtype="<i4").tobytes())
+
+    f_bin = str(tmp_path / "f.bin")
+    lc_bin = str(tmp_path / "lc.bin")
+    write_vec(f_bin, f)
+    write_vec(lc_bin, lc)
+
+    dst = str(tmp_path / "rebuilt.db")
+    rebuild_master_db(dst, f_bin, lc_bin, names, prots, donor_dbs=[src])
+
+    a = sqlite3.connect(f"file:{src}?mode=ro", uri=True)
+    b = sqlite3.connect(f"file:{dst}?mode=ro", uri=True)
+    try:
+        assert [r[0] for r in a.execute("SELECT DISTINCT SCP_acc FROM scp_data")] == [
+            r[0] for r in b.execute("SELECT DISTINCT SCP_acc FROM scp_data")
+        ]
+        assert list(a.execute("SELECT genome_name, genome_id FROM genome_metadata")) == list(
+            b.execute("SELECT genome_name, genome_id FROM genome_metadata")
+        )
+        for prot in prots:
+            for table, key in (
+                (f"{prot}_tetras", "tetramer"),
+                (f"{prot}_genomes", "genome_id"),
+            ):
+                assert list(a.execute(f"SELECT * FROM '{table}' ORDER BY {key}")) == list(
+                    b.execute(f"SELECT * FROM '{table}' ORDER BY {key}")
+                ), table
+    finally:
+        a.close()
+        b.close()
