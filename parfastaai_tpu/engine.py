@@ -246,12 +246,24 @@ def compute_streamed(
             for _, m_b, t_b in bucketize_presence(presence)
         ]
 
+        from .ops.pallas_intersect import (
+            MAX_K_SINGLE_BLOCK,
+            pallas_fused_sn_block,
+        )
+
+        # On TPU the Pallas rectangular kernel keeps each (band, col_chunk)
+        # S/N accumulator resident in VMEM across the protein axis; the XLA
+        # scan fallback round-trips it through HBM once per protein.
+        use_pallas_blk = jax.default_backend() == "tpu"
+
         @partial(jax.jit, static_argnames=("nb", "nc"))
         def bucket_sn(md, td, rids, cids, nb, nc):
             ma = jnp.take(md, rids, axis=1)
             mb = jnp.take(md, cids, axis=1)
             ta = jnp.take(td, rids, axis=1)
             tb = jnp.take(td, cids, axis=1)
+            if use_pallas_blk and md.shape[2] <= MAX_K_SINGLE_BLOCK:
+                return pallas_fused_sn_block(ma, mb, ta, tb)
             return fused_sn_block(ma, mb, ta, tb)
 
         def block(_md, _td, rids, cids, nb, nc):

@@ -240,8 +240,79 @@ def _pallas_sn_sym(
     return s, n
 
 
+@functools.partial(jax.jit, static_argnames=("tile", "approx", "precise"))
+def _pallas_sn_rect(
+    ma: jax.Array, mb: jax.Array, ta: jax.Array, tb: jax.Array, tile: int,
+    approx: bool = False, precise: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Rectangular fused (S, N): genome band A x genome band B.
+
+    The Pallas building block of the streaming scheduler
+    (engine.compute_streamed): unlike the XLA-scan fused_sn_block, whose
+    (A, B) f32+i32 accumulators round-trip HBM once per protein (~80x the
+    result size in carry traffic), the grid keeps each output tile resident
+    in VMEM across the whole protein axis.
+    """
+    P, A, K = ma.shape
+    B = mb.shape[1]
+    grid = (A // tile, B // tile, P)
+    s, n = pl.pallas_call(
+        functools.partial(_kernel, approx=approx, precise=precise),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, K), lambda i, j, p: (p, i, 0)),
+            pl.BlockSpec((1, tile, K), lambda i, j, p: (p, j, 0)),
+            pl.BlockSpec((P, tile), lambda i, j, p: (0, i)),
+            pl.BlockSpec((P, tile), lambda i, j, p: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, tile), lambda i, j, p: (i, j)),
+            pl.BlockSpec((tile, tile), lambda i, j, p: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((A, B), jnp.float32),
+            jax.ShapeDtypeStruct((A, B), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * A * B * K,
+            bytes_accessed=P * (A + B) * K + 8 * A * B,
+            transcendentals=0,
+        ),
+    )(
+        ma.astype(jnp.int8), mb.astype(jnp.int8),
+        ta.astype(jnp.float32), tb.astype(jnp.float32),
+    )
+    return s, n
+
+
+def pallas_fused_sn_block(
+    ma: jax.Array, mb: jax.Array, ta: jax.Array, tb: jax.Array,
+    tile: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """fused_sn_block drop-in on the Pallas kernel; pads both bands to the
+    tile size (padded all-zero genomes produce cnt == 0 -> s == 0, n == 0,
+    and are sliced off)."""
+    P, A, K = ma.shape
+    B = mb.shape[1]
+    if tile is None:
+        tile = auto_tile(max(A, B), K)
+    ap = -(-A // tile) * tile
+    bp = -(-B // tile) * tile
+    if ap != A:
+        ma = jnp.pad(ma, ((0, 0), (0, ap - A), (0, 0)))
+        ta = jnp.pad(ta, ((0, 0), (0, ap - A)))
+    if bp != B:
+        mb = jnp.pad(mb, ((0, 0), (0, bp - B), (0, 0)))
+        tb = jnp.pad(tb, ((0, 0), (0, bp - B)))
+    s, n = _pallas_sn_rect(ma, mb, ta, tb, tile=tile)
+    return s[:A, :B], n[:A, :B]
+
+
 # Working VMEM budget for auto tile selection (of the ~16 MB per core).
-_VMEM_BUDGET = 12 * 1024 * 1024
+# Calibrated against what Mosaic actually compiles here: a single-tile
+# tile=1024 grid (13.6 MB modeled) compiles; tile=1024 multi-tile (22 MB
+# modeled) never does.
+_VMEM_BUDGET = int(14.5 * 1024 * 1024)
 
 
 # Measured full-grid kernel rates on the bench chip (G=1024, K=1280),
@@ -259,12 +330,19 @@ def auto_tile(g: int, k: int, symmetric: bool = False) -> int:
     Symmetric grid: only nt*(nt+1)/2 of nt^2 tiles run (nt = ceil(g/tile)),
     so score = rate / work_ratio; smaller tiles trade HBM traffic for
     skipped work.
+
+    The VMEM model counts Mosaic's double buffering: on a multi-tile grid
+    the f32+i32 output tiles are double-buffered too (measured: tile=1024
+    multi-tile grids need 16.8 MB for outputs alone and always fail to
+    compile; a single-tile grid at tile=1024 compiles and runs).
     """
     best, best_score = 128, 0.0
     for tile in (128, 256, 512, 1024):
-        if 2 * tile * k + 8 * tile * tile > _VMEM_BUDGET:
-            continue
         nt = max(1, -(-g // tile))
+        out_bufs = 8 * tile * tile * (2 if nt > 1 else 1)
+        in_bufs = 2 * 2 * tile * k  # two sides, double-buffered
+        if out_bufs + in_bufs > _VMEM_BUDGET:
+            continue
         work_ratio = (nt + 1) / (2 * nt) if symmetric else 1.0
         score = _REL_RATE[tile] / work_ratio
         if score > best_score:

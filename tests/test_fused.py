@@ -150,3 +150,24 @@ def test_pallas_packed_exact_match():
             )
         np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
         np.testing.assert_array_equal(np.asarray(s), np.asarray(ref_s))
+
+
+def test_pallas_rect_block_matches_xla():
+    """The rectangular Pallas block (streamed-path building block) equals the
+    XLA-scan fused_sn_block, including the band-padding path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from parfastaai_tpu.ops.fused import fused_sn_block
+    from parfastaai_tpu.ops.pallas_intersect import pallas_fused_sn_block
+
+    rng = np.random.default_rng(5)
+    P, A, B, K = 3, 70, 200, 256
+    m = (rng.random((P, A + B, K)) < 0.2).astype(np.uint8)
+    t = m.sum(axis=2, dtype=np.int32)
+    ma, mb = jnp.asarray(m[:, :A]), jnp.asarray(m[:, A:])
+    ta, tb = jnp.asarray(t[:, :A]), jnp.asarray(t[:, A:])
+    ref_s, ref_n = fused_sn_block(ma, mb, ta, tb)
+    with pltpu.force_tpu_interpret_mode():
+        s, n = pallas_fused_sn_block(ma, mb, ta, tb, tile=128)
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=2e-6)
