@@ -240,6 +240,75 @@ def _pallas_sn_sym(
     return s, n
 
 
+@functools.partial(
+    jax.jit, static_argnames=("tile", "approx", "packed", "precise")
+)
+def _pallas_sn_sym_diag(
+    m: jax.Array, t: jax.Array, tile: int, approx: bool = False,
+    packed: bool = False, precise: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Symmetric S/N via wrapped-diagonal tile enumeration on a STANDARD grid.
+
+    Measured ALTERNATIVE to _pallas_sn_sym, not the default: grid (d, i, p)
+    computes block (i, (i + d) mod nt) for d = 0..nt//2, covering every
+    unordered tile pair (the longer-way twin is the transpose) with
+    closed-form index maps instead of scalar prefetch.  Salted-chain
+    measurement at G=4096 K=1280 tile=512: 2.76 us/grid-step vs the
+    prefetch grid's 2.86 — but the wrapped enumeration runs (nt//2 + 1)*nt
+    tiles vs triu's nt(nt+1)/2 (40 vs 36 at nt=8), netting 8.82 vs 8.25
+    ms/iter.  The `//` in the index maps defeats Mosaic pipelining almost
+    as much as scalar prefetch does (the plain affine rect grid steps at
+    2.20 us).  Kept as the measurement record; revisit if Mosaic learns
+    affine-mod index maps.
+    """
+    P, G, K = m.shape
+    m = m.astype(jnp.int8)
+    if packed:
+        m = _pack_nibbles(m)
+    kb = m.shape[2]
+    nt = G // tile
+    ndiag = nt // 2 + 1
+    grid = (ndiag, nt, P)
+
+    def col(d, i):
+        j = i + d
+        return j - (j // nt) * nt  # (i + d) mod nt, closed-form
+
+    s, n = pl.pallas_call(
+        functools.partial(
+            _kernel, approx=approx, packed=packed, precise=precise
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, kb), lambda d, i, p: (p, i, 0)),
+            pl.BlockSpec((1, tile, kb), lambda d, i, p: (p, col(d, i), 0)),
+            pl.BlockSpec((P, tile), lambda d, i, p: (0, i)),
+            pl.BlockSpec((P, tile), lambda d, i, p: (0, col(d, i))),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, tile), lambda d, i, p: (i, col(d, i))),
+            pl.BlockSpec((tile, tile), lambda d, i, p: (i, col(d, i))),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, G), jnp.float32),
+            jax.ShapeDtypeStruct((G, G), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * G * tile * K * ndiag,
+            bytes_accessed=2 * P * G * kb * ndiag // nt + 8 * G * G,
+            transcendentals=0,
+        ),
+    )(m, m, t.astype(jnp.float32), t.astype(jnp.float32))
+    # Tiles with forward distance > nt//2 were not computed; they are the
+    # transposes of computed ones.
+    rt = jnp.arange(G) // tile
+    dist = (rt[None, :] - rt[:, None]) % nt
+    covered = dist <= nt // 2
+    s = jnp.where(covered, s, s.T)
+    n = jnp.where(covered, n, n.T)
+    return s, n
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "approx", "precise"))
 def _pallas_sn_rect(
     ma: jax.Array, mb: jax.Array, ta: jax.Array, tb: jax.Array, tile: int,

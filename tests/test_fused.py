@@ -171,3 +171,23 @@ def test_pallas_rect_block_matches_xla():
         s, n = pallas_fused_sn_block(ma, mb, ta, tb, tile=128)
     np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
     np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=2e-6)
+
+
+def test_pallas_diag_enumeration_matches_full():
+    """The wrapped-diagonal symmetric variant (kept as a measured
+    alternative) equals the full grid, odd and even tile counts."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from parfastaai_tpu.ops.pallas_intersect import (
+        _pallas_sn,
+        _pallas_sn_sym_diag,
+    )
+
+    for G in (384, 512):  # nt = 3 (odd), 4 (even: duplicated half diagonal)
+        m, t = _rand_presence(P=3, G=G, K=256, seed=6)
+        md, td = jnp.asarray(m), jnp.asarray(t)
+        with pltpu.force_tpu_interpret_mode():
+            ref_s, ref_n = _pallas_sn(md, td, tile=128)
+            s, n = _pallas_sn_sym_diag(md, td, tile=128)
+        np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(ref_s))
