@@ -191,3 +191,21 @@ def test_pallas_diag_enumeration_matches_full():
             s, n = _pallas_sn_sym_diag(md, td, tile=128)
         np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
         np.testing.assert_array_equal(np.asarray(s), np.asarray(ref_s))
+
+
+def test_pallas_band_decomposition_matches_full():
+    """The affine band-per-row symmetric variant equals the full grid."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from parfastaai_tpu.ops.pallas_intersect import (
+        _pallas_sn,
+        _pallas_sn_sym_bands,
+    )
+
+    m, t = _rand_presence(P=3, G=384, K=256, seed=7)
+    md, td = jnp.asarray(m), jnp.asarray(t)
+    with pltpu.force_tpu_interpret_mode():
+        ref_s, ref_n = _pallas_sn(md, td, tile=128)
+        s, n = _pallas_sn_sym_bands(md, td, tile=128)
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(ref_s))
