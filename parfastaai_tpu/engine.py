@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -84,6 +85,64 @@ def _use_host(presence: PresenceData) -> bool:
     return P * G * G * K <= HOST_WORK_LIMIT
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _unpack_bits_device(bits: jax.Array, k: int) -> jax.Array:
+    """(…, ceil(k/8)) uint8 big-bit-order (np.packbits layout) -> (…, k) int8."""
+    import jax.numpy as jnp
+
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    x = (bits[..., :, None] >> shifts) & jnp.uint8(1)
+    return x.reshape(*bits.shape[:-1], bits.shape[-1] * 8)[..., :k].astype(
+        jnp.int8
+    )
+
+
+def upload_presence(m_np: np.ndarray) -> jax.Array:
+    """Ship a presence tensor to the device as packed bits, unpack on device.
+
+    The 0/1 int8 tensor is the single largest host->device transfer of every
+    device path (P*G*K bytes — 420 MB at G=4096, K=1280); host-side
+    np.packbits cuts the wire bytes 8x and one jitted device op expands it
+    back to int8 in HBM.  Measured end-to-end on the bench host: the warm
+    G=4096 --fast run's JAC+AJI phase was ~110 s, almost all of it this
+    upload.  On CPU (tests / parity runs) the plain transfer is free, so
+    packing is skipped."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return jnp.asarray(m_np)
+    k = m_np.shape[-1]
+    bits = np.packbits(np.ascontiguousarray(m_np), axis=-1)
+    return _unpack_bits_device(jnp.asarray(bits), k)
+
+
+def _is_triu_pairs(pairs: PairSpace, g: int) -> bool:
+    """True when the pair slots are exactly the row-major upper triangle of
+    a g x g space (the all-vs-all layout, modes.all_vs_all)."""
+    if pairs.n_pairs != g * (g - 1) // 2 or g < 2:
+        return False
+    a, b = np.triu_indices(g, k=1)
+    return np.array_equal(pairs.db_a, a) and np.array_equal(pairs.db_b, b)
+
+
+@jax.jit
+def _gather_triu(s_mat: jax.Array, n_mat: jax.Array):
+    """Gather the row-major upper triangle of (g, g) matrices with indices
+    generated on device (searchsorted over row offsets — no host->device
+    index upload)."""
+    g = s_mat.shape[0]
+    q = jnp.arange(g * (g - 1) // 2, dtype=jnp.int32)
+    row_len = (g - 1) - jnp.arange(g, dtype=jnp.int32)
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(row_len[:-1], dtype=jnp.int32)]
+    )
+    a = (
+        jnp.searchsorted(starts, q, side="right").astype(jnp.int32) - 1
+    )
+    b = q - starts[a] + a + 1
+    return s_mat[a, b], n_mat[a, b]
+
+
 def _pair_counts_host(
     m: np.ndarray, db_a: np.ndarray, db_b: np.ndarray
 ) -> np.ndarray:
@@ -109,7 +168,7 @@ def compute(presence: PresenceData, pairs: PairSpace) -> JacResult:
         out_dtype = jnp.int16 if int(presence.t.max()) < 2**15 else jnp.int32
         counts = np.asarray(
             pair_counts_device(
-                jnp.asarray(presence.m),
+                upload_presence(presence.m),
                 jnp.asarray(pairs.db_a),
                 jnp.asarray(pairs.db_b),
                 out_dtype=out_dtype,
@@ -242,7 +301,7 @@ def compute_streamed(
         # bucketize_presence); each bucket is a separate device tensor and
         # jit specialization, (S, N) summed across buckets per block.
         buckets = [
-            (jnp.asarray(m_b), jnp.asarray(t_b))
+            (upload_presence(m_b), jnp.asarray(t_b))
             for _, m_b, t_b in bucketize_presence(presence)
         ]
 
@@ -432,17 +491,27 @@ def compute_fast(
                 else kb <= MAX_K_SINGLE_BLOCK and G >= 256
             )
             fn = pallas_fused_aji if pall else fused_aji
-            _, s_b, n_b = fn(jnp.asarray(m_b), jnp.asarray(t_b))
+            _, s_b, n_b = fn(upload_presence(m_b), jnp.asarray(t_b))
             s_mat = s_b if s_mat is None else s_mat + s_b
             n_mat = n_b if n_mat is None else n_mat + n_b
-        a = jnp.asarray(pairs.db_a)
-        b = jnp.asarray(pairs.db_b)
-        s = np.asarray(s_mat[a, b], dtype=np.float64)
-        n = np.asarray(n_mat[a, b])
+        if _is_triu_pairs(pairs, G):
+            # All-vs-all: derive the pair indices ON device instead of
+            # uploading two n_pairs-long int32 vectors (67 MB at G=4096 —
+            # more wire bytes than the packed presence tensor itself).
+            s_d, n_d = _gather_triu(s_mat, n_mat)
+        else:
+            a = jnp.asarray(pairs.db_a)
+            b = jnp.asarray(pairs.db_b)
+            s_d, n_d = s_mat[a, b], n_mat[a, b]
+        # n <= P: download int16 when safe (halves the second transfer).
+        if presence.m.shape[0] < 2**15:
+            n_d = n_d.astype(jnp.int16)
+        s = np.asarray(s_d, dtype=np.float64)
+        n = np.asarray(n_d)
     else:
         counts = np.asarray(
             pair_counts_device(
-                jnp.asarray(presence.m),
+                upload_presence(presence.m),
                 jnp.asarray(pairs.db_a),
                 jnp.asarray(pairs.db_b),
             )

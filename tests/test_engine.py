@@ -57,3 +57,17 @@ def test_qt_without_compat_swap_differs(subset1_db, subset2_db, data_dir):
     assert not np.array_equal(result.aji, aji)
     # ... but it is close (the quirk swaps T columns of related genomes).
     np.testing.assert_allclose(result.aji, aji, atol=2e-2)
+
+
+def test_unpack_bits_device_roundtrip():
+    """Packed-bits upload path: np.packbits -> device unpack == original."""
+    import numpy as np
+
+    from parfastaai_tpu.engine import _unpack_bits_device
+
+    rng = np.random.default_rng(8)
+    for k in (256, 250):  # multiple-of-8 and ragged tail
+        m = (rng.random((3, 12, k)) < 0.3).astype(np.uint8)
+        bits = np.packbits(m, axis=-1)
+        out = np.asarray(_unpack_bits_device(bits, k))
+        np.testing.assert_array_equal(out, m.astype(np.int8))
