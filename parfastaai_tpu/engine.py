@@ -258,7 +258,7 @@ def compute_streamed(
     """
     import jax
 
-    from .io.csv_writer import format_row
+    from .io.csv_writer import format_matrix
 
     row_ids = np.asarray(row_ids, dtype=np.int32)
     col_ids = np.asarray(col_ids, dtype=np.int32)
@@ -402,13 +402,10 @@ def compute_streamed(
                 rows_aji[:, c0 : c0 + len(cids)] = blk
             # Reference leaves same-genome cells untouched => 0.
             rows_aji[rids[:, None] == col_ids[None, :]] = 0.0
-            for i, rid in enumerate(rids):
-                fp.write(
-                    row_names[r0 + i]
-                    + separator
-                    + format_row(rows_aji[i].astype(np.float64), separator)
-                    + "\n"
-                )
+            for i, row in enumerate(
+                format_matrix(rows_aji.astype(np.float64), separator)
+            ):
+                fp.write(row_names[r0 + i] + separator + row + "\n")
 
 
 def compute_sharded(

@@ -34,8 +34,21 @@ def write_aji_csv(
     mat = aji_matrix(pairs, aji)
     with open(path, "w") as fp:
         fp.write(separator + separator.join(pairs.target_names) + "\n")
-        for i, name in enumerate(pairs.query_names):
-            fp.write(name + separator + format_row(mat[i], separator) + "\n")
+        for name, row in zip(pairs.query_names, format_matrix(mat, separator)):
+            fp.write(name + separator + row + "\n")
+
+
+def format_matrix(mat: np.ndarray, separator: str) -> list[str]:
+    """All rows of a matrix as CSV strings; OpenMP-parallel native formatter
+    when available (validated byte-identical at first use), row-at-a-time
+    otherwise."""
+    if len(separator) == 1:
+        from ..native import native_format_matrix
+
+        rows = native_format_matrix(mat, separator)
+        if rows is not None:
+            return [r.decode("ascii") for r in rows]
+    return [format_row(mat[i], separator) for i in range(mat.shape[0])]
 
 
 def format_row(values: np.ndarray, separator: str) -> str:

@@ -76,6 +76,15 @@ def _build_and_load() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_char),
     ]
     lib.format_f64_row.restype = ctypes.c_int64
+    lib.format_f64_matrix.argtypes = [
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_char,
+        ctypes.POINTER(ctypes.c_char),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     return lib
 
 
@@ -171,6 +180,46 @@ def native_format_row(vals: np.ndarray, sep: str) -> bytes | None:
         _ptr(vals, ctypes.c_double), len(vals), sep.encode(), buf
     )
     return buf.raw[:n]
+
+
+def native_format_matrix(mat: np.ndarray, sep: str) -> list[bytes] | None:
+    """All CSV rows of a (rows, cols) f64 matrix, formatted in parallel
+    (OpenMP over rows — format_f64_matrix); None when the native lib is
+    unavailable or failed its byte-compat self-test."""
+    global _FORMAT_VALIDATED
+    lib = get_lib()
+    if lib is None:
+        return None
+    if _FORMAT_VALIDATED is None:
+        _FORMAT_VALIDATED = _validate_formatter(lib)
+    if not _FORMAT_VALIDATED:
+        return None
+    mat = np.ascontiguousarray(mat, dtype=np.float64)
+    rows, cols = mat.shape
+    stride = max(1, cols) * 26
+    # Chunked: one small reused buffer instead of a rows*stride allocation
+    # (a 4096x4096 matrix would need a 436 MB scratch whose page faults cost
+    # more than the formatting itself).
+    chunk = max(1, min(rows, (8 << 20) // stride + 1))
+    buf = np.empty(chunk * stride, dtype=np.uint8)
+    lens = np.empty(chunk, dtype=np.int64)
+    out: list[bytes] = []
+    for r0 in range(0, rows, chunk):
+        sub = mat[r0 : r0 + chunk]
+        lib.format_f64_matrix(
+            _ptr(sub, ctypes.c_double),
+            len(sub),
+            cols,
+            sep.encode(),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_char)),
+            stride,
+            _ptr(lens, ctypes.c_int64),
+        )
+        out.extend(
+            buf[r * stride : r * stride + lens[r]].tobytes()
+            for r in range(len(sub))
+        )
+    return out
 
 
 def native_unpack_presence(

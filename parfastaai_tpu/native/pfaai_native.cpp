@@ -168,4 +168,17 @@ int64_t format_f64_row(const double* vals, int64_t n, char sep, char* buf) {
   return p - buf;
 }
 
+// Formats a whole (rows x cols) matrix, one CSV row per matrix row, rows in
+// parallel.  Row r is written at buf + r * stride (caller sizes stride >=
+// 26 * cols); row_lens[r] receives its byte length.
+void format_f64_matrix(const double* vals, int64_t rows, int64_t cols,
+                       char sep, char* buf, int64_t stride,
+                       int64_t* row_lens) {
+#pragma omp parallel for schedule(static)
+  for (int64_t r = 0; r < rows; ++r) {
+    row_lens[r] =
+        format_f64_row(vals + r * cols, cols, sep, buf + r * stride);
+  }
+}
+
 }  // extern "C"
