@@ -66,6 +66,23 @@ def build_parser() -> argparse.ArgumentParser:
         ),
     )
     p.add_argument(
+        "--approx",
+        action="store_true",
+        help=(
+            "With --fast: raw lookup-reciprocal divide in the kernel "
+            "(~1.6e-5 relative error, fastest; default is a Newton-refined "
+            "reciprocal at ~1.4e-7)"
+        ),
+    )
+    p.add_argument(
+        "--precise",
+        action="store_true",
+        help=(
+            "With --fast: IEEE f32 divide in the kernel (~5.9e-8 relative "
+            "error, slowest)"
+        ),
+    )
+    p.add_argument(
         "--streamed",
         action="store_true",
         help=(
@@ -231,7 +248,9 @@ def run(argv: list[str] | None = None) -> int:
                 n_rows, n_scp = parts[0], parts[1] if len(parts) > 1 else 1
                 result = compute_sharded(presence, pairs, n_rows, n_scp)
             elif args.fast:
-                result = compute_fast(presence, pairs)
+                result = compute_fast(
+                    presence, pairs, approx=args.approx, precise=args.precise
+                )
             else:
                 result = compute(presence, pairs)
         if profiler is not None:

@@ -457,9 +457,19 @@ def compute_sharded(
 
 
 def compute_fast(
-    presence: PresenceData, pairs: PairSpace, use_pallas: bool | None = None
+    presence: PresenceData,
+    pairs: PairSpace,
+    use_pallas: bool | None = None,
+    approx: bool = False,
+    precise: bool = False,
 ) -> JacResult:
     """Fused f32 device path; per-pair gather on device, minimal transfer.
+
+    ``approx`` / ``precise`` select the Pallas kernel's divide
+    (ops/pallas_intersect._accumulate): raw lookup reciprocal (~1.6e-5,
+    fastest) / IEEE f32 divide (~5.9e-8, slowest); default is the
+    Newton-refined reciprocal (~1.4e-7).  The XLA fallback always uses the
+    IEEE divide.
 
     Note: in two-database compat mode the reference's swapped T columns
     (modes.query_target) differ from the presence-tensor columns, so the
@@ -487,7 +497,10 @@ def compute_fast(
                 if use_pallas is not None
                 else kb <= MAX_K_SINGLE_BLOCK and G >= 256
             )
-            fn = pallas_fused_aji if pall else fused_aji
+            if pall:
+                fn = partial(pallas_fused_aji, approx=approx, precise=precise)
+            else:
+                fn = fused_aji
             _, s_b, n_b = fn(upload_presence(m_b), jnp.asarray(t_b))
             s_mat = s_b if s_mat is None else s_mat + s_b
             n_mat = n_b if n_mat is None else n_mat + n_b
