@@ -79,7 +79,12 @@ def main() -> None:
     else:
         from parfastaai_tpu.ops.fused import fused_aji as fn
 
-    md = jax.device_put(jnp.asarray(m))
+    # Packed-bit upload (engine.upload_presence): 8x fewer wire bytes than
+    # device_put of the raw int8 tensor — setup only, not part of the timed
+    # region, but this host's device tunnel moves ~4 MB/s.
+    from parfastaai_tpu.engine import upload_presence
+
+    md = upload_presence(m)
     td = jax.device_put(jnp.asarray(t))
 
     @functools.partial(jax.jit, static_argnames="steps")
