@@ -65,21 +65,22 @@ def build_parser() -> argparse.ArgumentParser:
             "host traffic"
         ),
     )
-    p.add_argument(
+    divide = p.add_mutually_exclusive_group()
+    divide.add_argument(
         "--approx",
         action="store_true",
         help=(
-            "With --fast: raw lookup-reciprocal divide in the kernel "
-            "(~1.6e-5 relative error, fastest; default is a Newton-refined "
-            "reciprocal at ~1.4e-7)"
+            "With --fast/--streamed: raw lookup-reciprocal divide in the "
+            "kernel (~1.6e-5 relative error, fastest; default is a "
+            "Newton-refined reciprocal at ~1.4e-7)"
         ),
     )
-    p.add_argument(
+    divide.add_argument(
         "--precise",
         action="store_true",
         help=(
-            "With --fast: IEEE f32 divide in the kernel (~5.9e-8 relative "
-            "error, slowest)"
+            "With --fast/--streamed: IEEE f32 divide in the kernel "
+            "(~5.9e-8 relative error, slowest)"
         ),
     )
     p.add_argument(
@@ -176,6 +177,15 @@ def run(argv: list[str] | None = None) -> int:
     verbose = not args.quiet
     _enable_compilation_cache()
     try:
+        if (args.approx or args.precise) and not (args.fast or args.streamed):
+            # The divide selectors act on the fused Pallas kernel only; the
+            # exact path (and --mesh's XLA-scan path) always uses the IEEE
+            # f64/f32 divide, so accepting them there would silently lie.
+            raise PFAAIError(
+                ErrorCode.CONSTRUCT_ERROR,
+                "--approx/--precise select the fused kernel's divide and "
+                "require --fast or --streamed",
+            )
         two_db = bool(args.query_db) and args.query_db != args.path_to_input_db
         if two_db:
             with phase_timer("DB open + metadata ", enabled=verbose):
@@ -233,6 +243,8 @@ def run(argv: list[str] | None = None) -> int:
                     col_chunk=args.col_chunk,
                     resume=args.resume,
                     mesh=mesh,
+                    approx=args.approx,
+                    precise=args.precise,
                 )
             if profiler is not None:
                 profiler.stop_trace()

@@ -227,6 +227,8 @@ def compute_streamed(
     col_chunk: int = 4096,
     resume: bool = False,
     mesh=None,
+    approx: bool = False,
+    precise: bool = False,
 ) -> None:
     """Memory-bounded production path: AJI straight to CSV in row bands.
 
@@ -255,10 +257,23 @@ def compute_streamed(
       mesh: optional jax Mesh with a ``rows`` axis — each band's rows are
         sharded across the axis (presence tensor replicated), the pod-scale
         combination of banding and data parallelism.
+      approx / precise: Pallas kernel divide selection (see
+        ops.pallas_intersect._accumulate).  ``precise`` is honored on every
+        backend (the XLA / host fallbacks already use the IEEE divide);
+        ``approx`` exists only in the Pallas kernel, so requesting it on a
+        path that cannot run it raises rather than silently ignoring it.
     """
     import jax
 
     from .io.csv_writer import format_matrix
+    from .types import ErrorCode, PFAAIError
+
+    def _reject_approx(why: str) -> None:
+        if approx:
+            raise PFAAIError(
+                ErrorCode.CONSTRUCT_ERROR,
+                "--approx requires the Pallas streamed kernel, but " + why,
+            )
 
     row_ids = np.asarray(row_ids, dtype=np.int32)
     col_ids = np.asarray(col_ids, dtype=np.int32)
@@ -266,6 +281,9 @@ def compute_streamed(
     col_chunk = min(col_chunk, len(col_ids))
 
     if _use_host(presence):
+        _reject_approx(
+            "this problem runs on host (set PARFASTAAI_FORCE_DEVICE=1)"
+        )
         # Problem is host-trivial; skip device dispatch entirely (same
         # rationale as compute's HOST_WORK_LIMIT).  f32 math in the same
         # ascending-protein order as the device scan.
@@ -314,6 +332,10 @@ def compute_streamed(
         # S/N accumulator resident in VMEM across the protein axis; the XLA
         # scan fallback round-trips it through HBM once per protein.
         use_pallas_blk = jax.default_backend() == "tpu"
+        if not use_pallas_blk:
+            _reject_approx(f"backend is {jax.default_backend()!r}, not tpu")
+        elif any(md.shape[2] > MAX_K_SINGLE_BLOCK for md, _ in buckets):
+            _reject_approx("a width bucket exceeds MAX_K_SINGLE_BLOCK")
 
         @partial(jax.jit, static_argnames=("nb", "nc"))
         def bucket_sn(md, td, rids, cids, nb, nc):
@@ -322,7 +344,9 @@ def compute_streamed(
             ta = jnp.take(td, rids, axis=1)
             tb = jnp.take(td, cids, axis=1)
             if use_pallas_blk and md.shape[2] <= MAX_K_SINGLE_BLOCK:
-                return pallas_fused_sn_block(ma, mb, ta, tb)
+                return pallas_fused_sn_block(
+                    ma, mb, ta, tb, approx=approx, precise=precise
+                )
             return fused_sn_block(ma, mb, ta, tb)
 
         def block(_md, _td, rids, cids, nb, nc):
@@ -340,6 +364,7 @@ def compute_streamed(
 
         from .etl.database import bucketize_presence
 
+        _reject_approx("the mesh branch uses the XLA-scan block kernel")
         n_rows = mesh.shape["rows"]
         band = -(-band // n_rows) * n_rows  # shardable bands
         repl = NamedSharding(mesh, Spec())

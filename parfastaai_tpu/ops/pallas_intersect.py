@@ -435,11 +435,12 @@ def _pallas_sn_rect(
 
 def pallas_fused_sn_block(
     ma: jax.Array, mb: jax.Array, ta: jax.Array, tb: jax.Array,
-    tile: int | None = None,
+    tile: int | None = None, approx: bool = False, precise: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """fused_sn_block drop-in on the Pallas kernel; pads both bands to the
     tile size (padded all-zero genomes produce cnt == 0 -> s == 0, n == 0,
-    and are sliced off)."""
+    and are sliced off).  ``approx``/``precise`` select the kernel divide
+    (see _accumulate); default is the Newton-refined reciprocal."""
     P, A, K = ma.shape
     B = mb.shape[1]
     if tile is None:
@@ -452,7 +453,9 @@ def pallas_fused_sn_block(
     if bp != B:
         mb = jnp.pad(mb, ((0, 0), (0, bp - B), (0, 0)))
         tb = jnp.pad(tb, ((0, 0), (0, bp - B)))
-    s, n = _pallas_sn_rect(ma, mb, ta, tb, tile=tile)
+    s, n = _pallas_sn_rect(
+        ma, mb, ta, tb, tile=tile, approx=approx, precise=precise
+    )
     return s[:A, :B], n[:A, :B]
 
 
@@ -522,15 +525,15 @@ def pallas_fused_aji(
     see _pack_nibbles).
     """
     P, G, K = m.shape
+    if packed and K % 2:
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, 1)))
+        K += 1
     k_eff = K // 2 if packed else K
     if k_eff > MAX_K_SINGLE_BLOCK:
         raise ValueError(
             f"K={K} exceeds single-block VMEM budget; use ops.fused.fused_aji "
             "(XLA scan) for very wide presence tensors"
         )
-    if packed and K % 2:
-        m = jnp.pad(m, ((0, 0), (0, 0), (0, 1)))
-        K += 1
     if tile is None:
         tile = auto_tile(G, k_eff, symmetric=symmetric)
     gp = ((G + tile - 1) // tile) * tile

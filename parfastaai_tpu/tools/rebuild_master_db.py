@@ -107,7 +107,11 @@ def rebuild_master_db(
         raise FileExistsError(f"Refusing to overwrite existing {dst_path}")
     f = goldens.read_pair_vector(f_array_path)
     lc = goldens.read_i32_vector(lc_array_path)
-    assert lc.shape == (NTETRAMERS,) and int(lc.sum()) == len(f)
+    if lc.shape != (NTETRAMERS,) or int(lc.sum()) != len(f):
+        raise ValueError(
+            f"Inconsistent golden inputs: Lc shape {lc.shape} / sum "
+            f"{int(lc.sum())} does not match |F| = {len(f)}"
+        )
     n_prot = int(f[:, 0].max()) + 1
     n_gen = int(f[:, 1].max()) + 1
     if n_prot != len(protein_names):

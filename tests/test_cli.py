@@ -120,3 +120,33 @@ def test_dump_e_rejected_for_qsub(data_dir, tmp_path, combo12_db):
          "--dump-e", str(tmp_path / "e.csv")]
     )
     assert rc == 3
+
+
+def test_approx_precise_flag_validation(data_dir, tmp_path, capsys):
+    """--approx/--precise are mutually exclusive and require a path whose
+    kernel can honor them (--fast / --streamed)."""
+    import pytest
+
+    db = f"{data_dir}/xdb_subset1.db"
+    out = str(tmp_path / "o.csv")
+    with pytest.raises(SystemExit) as exc:
+        run([db, out, "--quiet", "--fast", "--approx", "--precise"])
+    assert exc.value.code == 2  # argparse mutual-exclusion error
+    # Divide selectors on the exact path are rejected, not ignored.
+    assert run([db, out, "--quiet", "--approx"]) != 0
+    assert run([db, out, "--quiet", "--precise"]) != 0
+    capsys.readouterr()
+
+
+def test_streamed_precise_ok_approx_rejected_on_cpu(data_dir, tmp_path, capsys):
+    """--streamed --precise is honored on every backend (IEEE divide);
+    --streamed --approx needs the Pallas TPU kernel and must fail loudly on
+    a backend that cannot run it."""
+    db = f"{data_dir}/xdb_subset1.db"
+    ok = tmp_path / "p.csv"
+    assert run([db, str(ok), "--quiet", "--streamed", "--precise"]) == 0
+    assert ok.exists()
+    bad = tmp_path / "a.csv"
+    assert run([db, str(bad), "--quiet", "--streamed", "--approx"]) != 0
+    err = capsys.readouterr().err
+    assert "--approx" in err
