@@ -229,7 +229,10 @@ def run(argv: list[str] | None = None) -> int:
             if args.mesh:
                 from .parallel.mesh import make_mesh
 
-                mesh = make_mesh(int(args.mesh.split(",")[0]))
+                parts = [int(x) for x in args.mesh.split(",")]
+                mesh = make_mesh(
+                    parts[0], parts[1] if len(parts) > 1 else 1
+                )
             with phase_timer("Streamed AJI + CSV ", enabled=verbose):
                 compute_streamed(
                     presence,
@@ -245,6 +248,8 @@ def run(argv: list[str] | None = None) -> int:
                     mesh=mesh,
                     approx=args.approx,
                     precise=args.precise,
+                    row_denom_ids=pairs.row_denom_ids,
+                    col_denom_ids=pairs.col_denom_ids,
                 )
             if profiler is not None:
                 profiler.stop_trace()

@@ -125,6 +125,22 @@ def _is_triu_pairs(pairs: PairSpace, g: int) -> bool:
     return np.array_equal(pairs.db_a, a) and np.array_equal(pairs.db_b, b)
 
 
+def _is_rect_pairs(pairs: PairSpace) -> bool:
+    """True when the pair slots are the full row-major rows x cols product of
+    the CSV axes (the two-database layout, modes.query_target) — including
+    that the denominator columns factor into the per-row / per-column vectors
+    (they do for both compat settings; see PairSpace.row_denom_ids)."""
+    nr, nc = len(pairs.row_db_ids), len(pairs.col_db_ids)
+    if pairs.n_pairs != nr * nc or pairs.n_pairs == 0:
+        return False
+    return (
+        np.array_equal(pairs.db_a, np.repeat(pairs.row_db_ids, nc))
+        and np.array_equal(pairs.db_b, np.tile(pairs.col_db_ids, nr))
+        and np.array_equal(pairs.denom_a, np.repeat(pairs.row_denom_ids, nc))
+        and np.array_equal(pairs.denom_b, np.tile(pairs.col_denom_ids, nr))
+    )
+
+
 @jax.jit
 def _gather_triu(s_mat: jax.Array, n_mat: jax.Array):
     """Gather the row-major upper triangle of (g, g) matrices with indices
@@ -229,6 +245,8 @@ def compute_streamed(
     mesh=None,
     approx: bool = False,
     precise: bool = False,
+    row_denom_ids: np.ndarray | None = None,
+    col_denom_ids: np.ndarray | None = None,
 ) -> None:
     """Memory-bounded production path: AJI straight to CSV in row bands.
 
@@ -241,13 +259,16 @@ def compute_streamed(
     incrementally in row order (reference layout, src/main.cpp:133-175:
     header of column names, one row per row genome, same-genome cells 0).
 
-    f32 on device (~1e-7 relative error, like compute_fast); denominators use
-    the true DB id columns — the two-database compat T-swap
-    (modes.query_target) is a parity-path-only behavior.
+    f32 on device (~1e-7 relative error, like compute_fast); denominator T
+    columns default to the DB id columns but callers can override them via
+    ``row_denom_ids`` / ``col_denom_ids`` (PairSpace carries them), so the
+    two-database compat T-swap (modes.query_target) is honored here too.
 
     Args:
       row_ids / col_ids: presence-tensor genome indices of the CSV rows /
         columns, in output order.
+      row_denom_ids / col_denom_ids: T columns used in the denominators for
+        each row / column (default: same as row_ids / col_ids).
       band / col_chunk: block shape; G is processed in ceil-divided blocks
         with zero-genome padding (padded entries never reach the CSV).
       resume: continue an interrupted run — complete rows already present in
@@ -277,6 +298,16 @@ def compute_streamed(
 
     row_ids = np.asarray(row_ids, dtype=np.int32)
     col_ids = np.asarray(col_ids, dtype=np.int32)
+    row_denom_ids = (
+        row_ids
+        if row_denom_ids is None
+        else np.asarray(row_denom_ids, dtype=np.int32)
+    )
+    col_denom_ids = (
+        col_ids
+        if col_denom_ids is None
+        else np.asarray(col_denom_ids, dtype=np.int32)
+    )
     band = min(band, len(row_ids))
     col_chunk = min(col_chunk, len(col_ids))
 
@@ -287,14 +318,14 @@ def compute_streamed(
         # Problem is host-trivial; skip device dispatch entirely (same
         # rationale as compute's HOST_WORK_LIMIT).  f32 math in the same
         # ascending-protein order as the device scan.
-        def block(md, td, rids, cids, nb, nc):
+        def block(md, td, rids, cids, drids, dcids, nb, nc):
             rids, cids = np.asarray(rids), np.asarray(cids)
             mf = presence.m.astype(np.float64)
             cnt = np.rint(
                 mf[:, rids] @ mf[:, cids].transpose(0, 2, 1)
             ).astype(np.int32)
-            ta = presence.t[:, rids].astype(np.int32)
-            tb = presence.t[:, cids].astype(np.int32)
+            ta = presence.t[:, np.asarray(drids)].astype(np.int32)
+            tb = presence.t[:, np.asarray(dcids)].astype(np.int32)
             s = np.zeros((len(rids), len(cids)), dtype=np.float32)
             n = np.zeros((len(rids), len(cids)), dtype=np.int32)
             for p in range(cnt.shape[0]):
@@ -338,21 +369,21 @@ def compute_streamed(
             _reject_approx("a width bucket exceeds MAX_K_SINGLE_BLOCK")
 
         @partial(jax.jit, static_argnames=("nb", "nc"))
-        def bucket_sn(md, td, rids, cids, nb, nc):
+        def bucket_sn(md, td, rids, cids, drids, dcids, nb, nc):
             ma = jnp.take(md, rids, axis=1)
             mb = jnp.take(md, cids, axis=1)
-            ta = jnp.take(td, rids, axis=1)
-            tb = jnp.take(td, cids, axis=1)
+            ta = jnp.take(td, drids, axis=1)
+            tb = jnp.take(td, dcids, axis=1)
             if use_pallas_blk and md.shape[2] <= MAX_K_SINGLE_BLOCK:
                 return pallas_fused_sn_block(
                     ma, mb, ta, tb, approx=approx, precise=precise
                 )
             return fused_sn_block(ma, mb, ta, tb)
 
-        def block(_md, _td, rids, cids, nb, nc):
+        def block(_md, _td, rids, cids, drids, dcids, nb, nc):
             s = n = None
             for md_b, td_b in buckets:
-                s_b, n_b = bucket_sn(md_b, td_b, rids, cids, nb, nc)
+                s_b, n_b = bucket_sn(md_b, td_b, rids, cids, drids, dcids, nb, nc)
                 s = s_b if s is None else s + s_b
                 n = n_b if n is None else n + n_b
             return s / n.astype(jnp.float32), n
@@ -366,38 +397,59 @@ def compute_streamed(
 
         _reject_approx("the mesh branch uses the XLA-scan block kernel")
         n_rows = mesh.shape["rows"]
+        n_scp = mesh.shape.get("scp", 1)
         band = -(-band // n_rows) * n_rows  # shardable bands
-        repl = NamedSharding(mesh, Spec())
-        # Same width buckets (and bucket order) as the single-device branch,
-        # so the f32 accumulation order — and the bytes — are identical.
-        buckets = [
-            (
-                jax.device_put(jnp.asarray(m_b), repl),
-                jax.device_put(jnp.asarray(t_b), repl),
+        shard3 = NamedSharding(mesh, Spec("scp", None, None))
+        shard2 = NamedSharding(mesh, Spec("scp", None))
+        # Same width buckets (and bucket order) as the single-device branch.
+        # With scp == 1 the per-band f32 accumulation order — and the bytes —
+        # are identical to the single-device path; scp > 1 splits each
+        # bucket's protein scan across devices (psum merge), which
+        # reassociates the f32 sum (~1e-7, the fused paths' normal contract).
+        buckets = []
+        for _, m_b, t_b in bucketize_presence(presence):
+            pb = m_b.shape[0]
+            pp = -(-pb // n_scp) * n_scp
+            if pp != pb:  # zero proteins are inert (cnt == 0 -> j == 0)
+                m_b = np.pad(m_b, ((0, pp - pb), (0, 0), (0, 0)))
+                t_b = np.pad(t_b, ((0, pp - pb), (0, 0)))
+            buckets.append(
+                (
+                    jax.device_put(jnp.asarray(m_b), shard3),
+                    jax.device_put(jnp.asarray(t_b), shard2),
+                )
             )
-            for _, m_b, t_b in bucketize_presence(presence)
-        ]
 
         @partial(jax.jit, static_argnames=("nb", "nc"))
-        def bucket_sn(md, td, rids, cids, nb, nc):
-            def body(md, td, rids_loc, cids):
+        def bucket_sn(md, td, rids, cids, drids, dcids, nb, nc):
+            def body(md, td, rids_loc, cids, drids_loc, dcids):
                 ma = jnp.take(md, rids_loc, axis=1)
                 mb = jnp.take(md, cids, axis=1)
-                ta = jnp.take(td, rids_loc, axis=1)
-                tb = jnp.take(td, cids, axis=1)
-                return fused_sn_block(ma, mb, ta, tb, vma_axes=("rows",))
+                ta = jnp.take(td, drids_loc, axis=1)
+                tb = jnp.take(td, dcids, axis=1)
+                s, n = fused_sn_block(
+                    ma, mb, ta, tb, vma_axes=("rows", "scp")
+                )
+                return jax.lax.psum(s, "scp"), jax.lax.psum(n, "scp")
 
             return shard_map(
                 body,
                 mesh=mesh,
-                in_specs=(Spec(), Spec(), Spec("rows"), Spec()),
+                in_specs=(
+                    Spec("scp", None, None),
+                    Spec("scp", None),
+                    Spec("rows"),
+                    Spec(),
+                    Spec("rows"),
+                    Spec(),
+                ),
                 out_specs=(Spec("rows"), Spec("rows")),
-            )(md, td, rids, cids)
+            )(md, td, rids, cids, drids, dcids)
 
-        def block(_md, _td, rids, cids, nb, nc):
+        def block(_md, _td, rids, cids, drids, dcids, nb, nc):
             s = n = None
             for md_b, td_b in buckets:
-                s_b, n_b = bucket_sn(md_b, td_b, rids, cids, nb, nc)
+                s_b, n_b = bucket_sn(md_b, td_b, rids, cids, drids, dcids, nb, nc)
                 s = s_b if s is None else s + s_b
                 n = n_b if n is None else n + n_b
             return s / n.astype(jnp.float32), n
@@ -413,13 +465,15 @@ def compute_streamed(
             rids = row_ids[r0 : r0 + band]
             pad_r = band - len(rids)
             rpad = np.pad(rids, (0, pad_r))
+            drpad = np.pad(row_denom_ids[r0 : r0 + band], (0, pad_r))
             rows_aji = np.zeros((len(rids), len(col_ids)), dtype=np.float32)
             for c0 in range(0, len(col_ids), col_chunk):
                 cids = col_ids[c0 : c0 + col_chunk]
                 pad_c = col_chunk - len(cids)
                 cpad = np.pad(cids, (0, pad_c))
+                dcpad = np.pad(col_denom_ids[c0 : c0 + col_chunk], (0, pad_c))
                 aji, n = block(
-                    md, td, rpad, cpad, band, col_chunk
+                    md, td, rpad, cpad, drpad, dcpad, band, col_chunk
                 )
                 blk = np.array(aji[: len(rids), : len(cids)])
                 nblk = np.asarray(n[: len(rids), : len(cids)])
@@ -444,24 +498,56 @@ def compute_sharded(
     Genome row bands are data-parallel across ``rows``; the protein axis is
     sharded across ``scp`` with a psum merge.  Pads G / P to mesh multiples
     with zero genomes / empty proteins (zero rows give cnt == 0 -> masked).
-    Denominators use the DB id columns, so in two-database compat mode
-    (modes.query_target default) this falls back to the exact path like
-    compute_fast does.
+    Two-database pair spaces (either compat setting) run the rectangular
+    sharded kernel with denominator T columns gathered through
+    PairSpace.row_denom_ids / col_denom_ids — the compat T-swap is honored
+    on the mesh path, not silently dropped.
     """
     import jax
 
     from .parallel.distributed import gather_to_host
-    from .parallel.mesh import make_mesh, sharded_fused_aji
-
-    if not (
-        np.array_equal(pairs.denom_a, pairs.db_a)
-        and np.array_equal(pairs.denom_b, pairs.db_b)
-    ):
-        return compute(presence, pairs)
+    from .parallel.mesh import (
+        make_mesh,
+        sharded_fused_aji,
+        sharded_fused_sn_rect,
+    )
 
     if n_rows is None:
         n_rows = max(1, jax.device_count() // n_scp)
     mesh = make_mesh(n_rows, n_scp)
+
+    if not (
+        np.array_equal(pairs.denom_a, pairs.db_a)
+        and np.array_equal(pairs.denom_b, pairs.db_b)
+    ) or _is_rect_pairs(pairs):
+        if not _is_rect_pairs(pairs):
+            raise ValueError(
+                "compute_sharded: pair space is neither a single-id-space "
+                "layout nor a rows x cols product"
+            )
+        ma = np.ascontiguousarray(presence.m[:, pairs.row_db_ids])
+        mb = np.ascontiguousarray(presence.m[:, pairs.col_db_ids])
+        ta = np.ascontiguousarray(presence.t[:, pairs.row_denom_ids])
+        tb = np.ascontiguousarray(presence.t[:, pairs.col_denom_ids])
+        P, A = ta.shape
+        B = tb.shape[1]
+        pp = -(-P // n_scp) * n_scp
+        ap = -(-A // n_rows) * n_rows
+        if (pp, ap) != (P, A):
+            ma = np.pad(ma, ((0, pp - P), (0, ap - A), (0, 0)))
+            ta = np.pad(ta, ((0, pp - P), (0, ap - A)))
+            mb = np.pad(mb, ((0, pp - P), (0, 0), (0, 0)))
+            tb = np.pad(tb, ((0, pp - P), (0, 0)))
+        s_mat, n_mat = sharded_fused_sn_rect(mesh, ma, mb, ta, tb)
+        s_mat = gather_to_host(s_mat)[:A]
+        n_mat = gather_to_host(n_mat)[:A]
+        return JacResult(
+            genome_a=pairs.jac_a.astype(np.int32),
+            genome_b=pairs.jac_b.astype(np.int32),
+            s=s_mat.reshape(-1).astype(np.float64),
+            n=n_mat.reshape(-1).astype(np.int32),
+        )
+
     P, G, K = presence.m.shape
     pp = -(-P // n_scp) * n_scp
     gp = -(-G // n_rows) * n_rows
@@ -496,15 +582,18 @@ def compute_fast(
     Newton-refined reciprocal (~1.4e-7).  The XLA fallback always uses the
     IEEE divide.
 
-    Note: in two-database compat mode the reference's swapped T columns
-    (modes.query_target) differ from the presence-tensor columns, so the
-    fused kernel's denominator (always db-id based) would diverge; this path
-    therefore recomputes J from the *exact device counts* only when
-    denom != db ids.  For all-vs-all / query-subset, denom == db ids and the
-    fully fused path applies.
+    Two-database mode (either compat setting) runs a fully fused rectangular
+    query x target block: the denominator T columns are gathered through
+    PairSpace.row_denom_ids / col_denom_ids, which carry the reference's
+    swapped-column read (modes.query_target) when compat is on.  This also
+    computes only |Q| x |T| cells instead of the (|Q|+|T|)^2 square.
     """
     from .etl.database import bucketize_presence
-    from .ops.pallas_intersect import MAX_K_SINGLE_BLOCK, pallas_fused_aji
+    from .ops.pallas_intersect import (
+        MAX_K_SINGLE_BLOCK,
+        pallas_fused_aji,
+        pallas_fused_sn_block,
+    )
 
     G = presence.m.shape[1]
     if np.array_equal(pairs.denom_a, pairs.db_a) and np.array_equal(
@@ -543,6 +632,32 @@ def compute_fast(
             n_d = n_d.astype(jnp.int16)
         s = np.asarray(s_d, dtype=np.float64)
         n = np.asarray(n_d)
+    elif _is_rect_pairs(pairs):
+        rows, cols = pairs.row_db_ids, pairs.col_db_ids
+        s_mat = n_mat = None
+        for _, m_b, t_b in bucketize_presence(presence):
+            kb = m_b.shape[2]
+            ma = upload_presence(np.ascontiguousarray(m_b[:, rows]))
+            mb = upload_presence(np.ascontiguousarray(m_b[:, cols]))
+            ta = jnp.asarray(t_b[:, pairs.row_denom_ids])
+            tb = jnp.asarray(t_b[:, pairs.col_denom_ids])
+            pall = (
+                use_pallas
+                if use_pallas is not None
+                else jax.default_backend() == "tpu"
+                and kb <= MAX_K_SINGLE_BLOCK
+            )
+            if pall:
+                s_b, n_b = pallas_fused_sn_block(
+                    ma, mb, ta, tb, approx=approx, precise=precise
+                )
+            else:
+                s_b, n_b = fused_sn_block(ma, mb, ta, tb)
+            s_mat = s_b if s_mat is None else s_mat + s_b
+            n_mat = n_b if n_mat is None else n_mat + n_b
+        # Pair slots are row-major rows x cols — a flatten matches exactly.
+        s = np.asarray(s_mat, dtype=np.float64).reshape(-1)
+        n = np.asarray(n_mat).reshape(-1)
     else:
         counts = np.asarray(
             pair_counts_device(

@@ -57,6 +57,20 @@ class PairSpace:
     # (drives the streaming engine, engine.compute_streamed):
     row_db_ids: np.ndarray  # int32 (len(query_names),)
     col_db_ids: np.ndarray  # int32 (len(target_names),)
+    # T column used in the denominator for each CSV row / column.  denom_a /
+    # denom_b factor by construction into per-row x per-column vectors in
+    # every mode (the two-DB compat swap substitutes one whole column set for
+    # the other, never mixing within a pair), which is what lets the fused /
+    # sharded / streamed block engines honor the swap with two small gathers.
+    # Default (None) means "same as the db ids".
+    row_denom_ids: np.ndarray = None  # int32 (len(query_names),)
+    col_denom_ids: np.ndarray = None  # int32 (len(target_names),)
+
+    def __post_init__(self):
+        if self.row_denom_ids is None:
+            object.__setattr__(self, "row_denom_ids", self.row_db_ids)
+        if self.col_denom_ids is None:
+            object.__setattr__(self, "col_denom_ids", self.col_db_ids)
 
     @property
     def n_pairs(self) -> int:
@@ -78,6 +92,7 @@ def all_vs_all(meta: DBMetaData) -> PairSpace:
         out_row=a, out_col=b, mirror_row=b, mirror_col=a,
         query_names=meta.genome_set, target_names=meta.genome_set,
         row_db_ids=ids, col_db_ids=ids,
+        row_denom_ids=ids, col_denom_ids=ids,
     )
 
 
@@ -139,6 +154,7 @@ def query_subset(meta: DBMetaData, query_names: list[str]) -> PairSpace:
         mirror_row=mirror_row, mirror_col=mirror_col,
         query_names=tuple(query_names), target_names=meta.genome_set,
         row_db_ids=qry_lookup, col_db_ids=np.arange(g, dtype=np.int32),
+        row_denom_ids=qry_lookup, col_denom_ids=np.arange(g, dtype=np.int32),
     )
 
 
@@ -175,8 +191,12 @@ def query_target(meta: DBMetaData, compat_qt_t_swap: bool = True) -> PairSpace:
     jac_b = nq + ti
     if compat_qt_t_swap:
         denom_a, denom_b = jac_a, jac_b
+        row_denom = np.arange(nq, dtype=np.int32)
+        col_denom = nq + np.arange(nt, dtype=np.int32)
     else:
         denom_a, denom_b = db_a, db_b
+        row_denom = nt + np.arange(nq, dtype=np.int32)
+        col_denom = np.arange(nt, dtype=np.int32)
     none = np.full(qi.shape, -1, dtype=np.int32)
     return PairSpace(
         db_a=db_a, db_b=db_b, jac_a=jac_a, jac_b=jac_b,
@@ -185,4 +205,5 @@ def query_target(meta: DBMetaData, compat_qt_t_swap: bool = True) -> PairSpace:
         query_names=meta.query_genome_set, target_names=meta.genome_set,
         row_db_ids=nt + np.arange(nq, dtype=np.int32),
         col_db_ids=np.arange(nt, dtype=np.int32),
+        row_denom_ids=row_denom, col_denom_ids=col_denom,
     )

@@ -80,6 +80,85 @@ def _body(m_loc: jax.Array, t_loc: jax.Array, *, band: int):
     return aji, s, n
 
 
+def _body_rect(ma_loc, mb_loc, ta_loc, tb_loc, *, band: int):
+    """Per-device rectangular program: local protein slice, row band vs the
+    full column side.  ta/tb are the *denominator* T values aligned to the
+    rows of ma / mb (callers gather them through PairSpace's denom ids, so
+    the two-database compat T-swap rides through unchanged)."""
+    r = jax.lax.axis_index("rows")
+    ma = jax.lax.dynamic_slice_in_dim(ma_loc, r * band, band, axis=1)
+    ta = jax.lax.dynamic_slice_in_dim(ta_loc, r * band, band, axis=1)
+
+    def step(carry, inputs):
+        s, n = carry
+        mp_a, mp_b, tp_a, tp_b = inputs
+        cnt = jax.lax.dot_general(
+            mp_a, mp_b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        shared = cnt > 0
+        denom = jnp.maximum(tp_a[:, None] + tp_b[None, :] - cnt, 1).astype(
+            jnp.float32
+        )
+        j = cnt.astype(jnp.float32) / denom
+        return (s + j, n + shared.astype(jnp.int32)), None
+
+    b = mb_loc.shape[1]
+    init = jax.lax.pcast(
+        (jnp.zeros((band, b), jnp.float32), jnp.zeros((band, b), jnp.int32)),
+        ("rows", "scp"),
+        to="varying",
+    )
+    (s, n), _ = jax.lax.scan(
+        step,
+        init,
+        (ma.astype(jnp.int8), mb_loc.astype(jnp.int8), ta, tb_loc),
+    )
+    return jax.lax.psum(s, "scp"), jax.lax.psum(n, "scp")
+
+
+def sharded_fused_sn_rect(mesh: Mesh, ma, mb, ta, tb):
+    """Rectangular fused (S, N) over a (rows, scp) mesh.
+
+    The A side (genome rows) is banded over ``rows``; the protein axis is
+    sharded over ``scp`` with a psum merge; the B side is replicated.
+
+    Args:
+      ma: (P, A, K) int8 presence rows; A divisible by mesh rows size,
+          P by scp size (pad as needed — zero genomes/proteins are inert).
+      mb: (P, B, K) int8 presence columns.
+      ta: (P, A) int32 denominator T values for the rows.
+      tb: (P, B) int32 denominator T values for the columns.
+
+    Returns (s f32 (A, B), n int32 (A, B)), row-sharded over the mesh.
+    """
+    n_rows = mesh.shape["rows"]
+    a = ma.shape[1]
+    if a % n_rows or ma.shape[0] % mesh.shape["scp"]:
+        raise ValueError(
+            f"shape {ma.shape} not divisible by mesh {dict(mesh.shape)}"
+        )
+    band = a // n_rows
+    fn = shard_map(
+        partial(_body_rect, band=band),
+        mesh=mesh,
+        in_specs=(
+            P("scp", None, None),
+            P("scp", None, None),
+            P("scp", None),
+            P("scp", None),
+        ),
+        out_specs=(P("rows", None), P("rows", None)),
+    )
+    spec3 = NamedSharding(mesh, P("scp", None, None))
+    spec2 = NamedSharding(mesh, P("scp", None))
+    ma = jax.device_put(ma, spec3)
+    mb = jax.device_put(mb, spec3)
+    ta = jax.device_put(ta, spec2)
+    tb = jax.device_put(tb, spec2)
+    return jax.jit(fn)(ma, mb, ta, tb)
+
+
 def sharded_fused_aji(mesh: Mesh, m, t):
     """Fused AJI over a (rows, scp) mesh.
 

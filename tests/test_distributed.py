@@ -100,17 +100,69 @@ def test_cli_streamed_all_modes(combo12_db, subset1_db, subset2_db, tmp_path):
     _, _, got = _read_csv(str(s2))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=0)
 
-    # two-database: streamed uses the correct (non-swapped) denominators, so
-    # compare against the exact engine with compat disabled.
-    e3, s3 = tmp_path / "e3.csv", tmp_path / "s3.csv"
-    assert run(
-        [subset1_db, str(e3), "--quiet", "-r", subset2_db,
-         "--no-compat-qt-t-swap"]
-    ) == 0
-    assert run(
-        [subset1_db, str(s3), "--quiet", "-r", subset2_db, "--streamed",
-         "--band", "2", "--col-chunk", "3"]
-    ) == 0
-    _, _, want = _read_csv(str(e3))
-    _, _, got = _read_csv(str(s3))
-    np.testing.assert_allclose(got, want, rtol=1e-6, atol=0)
+    # two-database: streamed honors the denominator T columns of the pair
+    # space, so it must match the exact engine under BOTH compat settings.
+    for extra in ([], ["--no-compat-qt-t-swap"]):
+        e3 = tmp_path / f"e3{len(extra)}.csv"
+        s3 = tmp_path / f"s3{len(extra)}.csv"
+        assert run(
+            [subset1_db, str(e3), "--quiet", "-r", subset2_db] + extra
+        ) == 0
+        assert run(
+            [subset1_db, str(s3), "--quiet", "-r", subset2_db, "--streamed",
+             "--band", "2", "--col-chunk", "3"] + extra
+        ) == 0
+        _, _, want = _read_csv(str(e3))
+        _, _, got = _read_csv(str(s3))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=0)
+
+
+def test_qt_compat_on_every_device_path(subset1_db, subset2_db):
+    """VERDICT r1 item 2: --fast and --mesh must honor the two-database
+    compat T-swap (and the corrected denominators with compat off) instead
+    of silently falling back to a single-device exact run."""
+    from parfastaai_tpu.engine import compute_fast
+    from parfastaai_tpu.etl.database import QueryTargetDatabase
+    from parfastaai_tpu.modes import query_target
+
+    db = QueryTargetDatabase(subset1_db, subset2_db)
+    pres = db.load_presence()
+    db.close()
+    for compat in (True, False):
+        pairs = query_target(db.meta, compat_qt_t_swap=compat)
+        exact = compute(pres, pairs)
+        fast = compute_fast(pres, pairs)
+        np.testing.assert_array_equal(fast.n, exact.n)
+        np.testing.assert_allclose(fast.s, exact.s, rtol=1e-6)
+        sharded = compute_sharded(pres, pairs, n_rows=2, n_scp=2)
+        np.testing.assert_array_equal(sharded.n, exact.n)
+        np.testing.assert_allclose(sharded.s, exact.s, rtol=1e-6)
+
+
+def test_streamed_mesh_rows_scp(combo12_db, tmp_path, monkeypatch):
+    """VERDICT r1 item 5: --streamed --mesh ROWS,SCP uses both axes.
+    rows-only sharding is bit-equal to single-device; adding the scp axis
+    reassociates the f32 protein sum (psum merge) so it gets a tolerance."""
+    from parfastaai_tpu.engine import compute_streamed
+    from parfastaai_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setenv("PARFASTAAI_FORCE_DEVICE", "1")
+    meta, pres = _load(combo12_db)
+    g = len(meta.genome_set)
+    ids = np.arange(g, dtype=np.int32)
+    outs = {}
+    for name, mesh in (
+        ("single", None),
+        ("r4s1", make_mesh(4, 1)),
+        ("r4s2", make_mesh(4, 2)),
+    ):
+        path = tmp_path / f"{name}.csv"
+        compute_streamed(
+            pres, ids, ids, str(path), meta.genome_set, meta.genome_set,
+            band=4, col_chunk=8, mesh=mesh,
+        )
+        outs[name] = path
+    assert outs["r4s1"].read_bytes() == outs["single"].read_bytes()
+    _, _, want = _read_csv(str(outs["single"]))
+    _, _, got = _read_csv(str(outs["r4s2"]))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)

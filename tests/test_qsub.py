@@ -88,3 +88,12 @@ def test_qsub_bad_query_rejected(combo):
     meta, _ = combo
     with pytest.raises(PFAAIError):
         query_subset(meta, [meta.genome_set[0], "not_a_genome.fna.gz"])
+
+
+def test_duplicate_query_names_rejected(combo):
+    """Deliberate divergence from the reference (PARITY.md quirks): the
+    reference's validate_subset (src/main.cpp:204-232) accepts duplicate
+    query names and builds a layout with repeated rows; we reject them."""
+    meta, _ = combo
+    with pytest.raises(PFAAIError, match="[Dd]uplicate"):
+        query_subset(meta, [meta.genome_set[0], meta.genome_set[0]])
