@@ -155,6 +155,30 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _init_backend() -> bool:
+    """Backend bootstrap, called before ANY JAX backend touch.
+
+    Order matters: ``jax.distributed.initialize`` must run before the local
+    backend initializes, or a multi-host launch silently degenerates to N
+    independent single-process runs (each would write the CSV).  Also
+    re-applies a JAX_PLATFORMS=cpu request via jax.config — this
+    environment's TPU plugin registers in sitecustomize and overrides the
+    env var alone (same workaround as __graft_entry__).
+
+    Returns True when running multi-process.
+    """
+    import jax
+
+    from .parallel.distributed import init_distributed
+
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "") or (
+        "xla_force_host_platform_device_count"
+        in os.environ.get("XLA_FLAGS", "")
+    ):
+        jax.config.update("jax_platforms", "cpu")
+    return init_distributed()
+
+
 def _enable_compilation_cache() -> None:
     """Persist XLA executables across processes; without it every CLI
     invocation pays full (possibly remote) compilation latency."""
@@ -174,7 +198,14 @@ def _enable_compilation_cache() -> None:
 
 def run(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    verbose = not args.quiet
+    _init_backend()
+    from .parallel.distributed import is_primary
+
+    primary = is_primary()
+    # One writer, one reporter: non-primary processes compute (collectives)
+    # but never touch the output files (reference has a single process;
+    # multi-host output semantics follow its single printOutput call).
+    verbose = not args.quiet and primary
     _enable_compilation_cache()
     try:
         if (args.approx or args.precise) and not (args.fast or args.streamed):
@@ -212,12 +243,13 @@ def run(argv: list[str] | None = None) -> int:
                 )
             from .etl.derive import derive_qt, derive_single
 
-            with phase_timer("E derivation       ", enabled=verbose):
-                _, _, _, e = (derive_qt if two_db else derive_single)(db)
-                with open(args.dump_e, "w") as fp:
-                    fp.write("proteinIndex,genomeA,genomeB\n")
-                    for row in e:
-                        fp.write(f"{row[0]},{row[1]},{row[2]}\n")
+            if primary:
+                with phase_timer("E derivation       ", enabled=verbose):
+                    _, _, _, e = (derive_qt if two_db else derive_single)(db)
+                    with open(args.dump_e, "w") as fp:
+                        fp.write("proteinIndex,genomeA,genomeB\n")
+                        for row in e:
+                            fp.write(f"{row[0]},{row[1]},{row[2]}\n")
         db.close()
         profiler = None
         if args.profile:
@@ -272,11 +304,12 @@ def run(argv: list[str] | None = None) -> int:
                 result = compute(presence, pairs)
         if profiler is not None:
             profiler.stop_trace()
-        with phase_timer("CSV write          ", enabled=verbose):
-            write_aji_csv(
-                args.path_to_output_file, pairs, result.aji, args.separator
-            )
-        if args.dump_jac:
+        if primary:
+            with phase_timer("CSV write          ", enabled=verbose):
+                write_aji_csv(
+                    args.path_to_output_file, pairs, result.aji, args.separator
+                )
+        if args.dump_jac and primary:
             from .io.fmtfloat import format_double
 
             with open(args.dump_jac, "w") as fp:

@@ -456,10 +456,27 @@ def compute_streamed(
 
         md = td = None
 
+    from .parallel.distributed import (
+        broadcast_from_primary,
+        gather_to_host,
+        is_primary,
+    )
+
+    # Multi-process (jax.distributed) runs: every process executes the block
+    # loop (the mesh collectives require it) but only process 0 touches the
+    # CSV.  The resume point is read from disk by the writer and broadcast so
+    # all processes restart at the same band.
+    primary = is_primary()
+    multiproc = jax.process_count() > 1
     header = separator + separator.join(col_names) + "\n"
-    rows_done = _resume_point(out_path, header, band) if resume else 0
-    with open(out_path, "a" if rows_done else "w") as fp:
-        if not rows_done:
+    rows_done = 0
+    if resume:
+        rows_done = _resume_point(out_path, header, band) if primary else 0
+        if multiproc:
+            rows_done = broadcast_from_primary(rows_done)
+    fp = open(out_path, "a" if rows_done else "w") if primary else None
+    try:
+        if primary and not rows_done:
             fp.write(header)
         for r0 in range(rows_done, len(row_ids), band):
             rids = row_ids[r0 : r0 + band]
@@ -475,16 +492,24 @@ def compute_streamed(
                 aji, n = block(
                     md, td, rpad, cpad, drpad, dcpad, band, col_chunk
                 )
+                if multiproc:
+                    aji = gather_to_host(aji)
+                    n = gather_to_host(n)
                 blk = np.array(aji[: len(rids), : len(cids)])
                 nblk = np.asarray(n[: len(rids), : len(cids)])
                 blk[nblk == 0] = 0.0  # no shared protein => untouched cell
                 rows_aji[:, c0 : c0 + len(cids)] = blk
+            if not primary:
+                continue
             # Reference leaves same-genome cells untouched => 0.
             rows_aji[rids[:, None] == col_ids[None, :]] = 0.0
             for i, row in enumerate(
                 format_matrix(rows_aji.astype(np.float64), separator)
             ):
                 fp.write(row_names[r0 + i] + separator + row + "\n")
+    finally:
+        if fp is not None:
+            fp.close()
 
 
 def compute_sharded(

@@ -1,0 +1,98 @@
+"""Real multi-process execution: jax.distributed bootstrap + one-writer CSV.
+
+Launches the actual CLI in two OS processes (4 virtual CPU devices each,
+8 global) against a single-process 8-device run of the same mesh; the merged
+CSV must be byte-identical, and only process 0 may write output files.
+The TPU-native analogue of the reference's shared-memory merge
+(algorithm_impl.hpp:295-322) — here the merge is psum/allgather collectives
+plus primary-gated IO (parallel/distributed.py)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _env(n_local_devices: int, extra: dict | None = None) -> dict:
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": (
+            f"--xla_force_host_platform_device_count={n_local_devices}"
+        ),
+    }
+    env.pop("PARFASTAAI_COORDINATOR", None)
+    env.update(extra or {})
+    return env
+
+
+def _run_pair(cli_args_for, timeout=240):
+    """Run the CLI in 2 coordinated processes; returns their exit codes."""
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = _env(
+            4,
+            {
+                "PARFASTAAI_COORDINATOR": f"127.0.0.1:{port}",
+                "PARFASTAAI_NUM_PROCESSES": "2",
+                "PARFASTAAI_PROCESS_ID": str(pid),
+            },
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "parfastaai_tpu.cli", "--quiet"]
+                + cli_args_for(pid),
+                env=env,
+                cwd=REPO,
+            )
+        )
+    return [p.wait(timeout=timeout) for p in procs]
+
+
+def _run_single(cli_args, timeout=240):
+    return subprocess.run(
+        [sys.executable, "-m", "parfastaai_tpu.cli", "--quiet"] + cli_args,
+        env=_env(8),
+        cwd=REPO,
+        timeout=timeout,
+    ).returncode
+
+
+@pytest.mark.parametrize(
+    "mode_args",
+    [
+        ["--mesh", "4,2"],
+        ["--streamed", "--mesh", "4,2", "--band", "4", "--col-chunk", "5"],
+    ],
+    ids=["mesh", "streamed_mesh"],
+)
+def test_two_process_matches_single(combo12_db, tmp_path, mode_args):
+    two = tmp_path / "two.csv"
+    other = tmp_path / "nonprimary.csv"
+
+    def args_for(pid):
+        # Processes get DIFFERENT output paths: only process 0's may appear.
+        out = two if pid == 0 else other
+        return [combo12_db, str(out)] + mode_args
+
+    codes = _run_pair(args_for)
+    assert codes == [0, 0]
+    assert two.exists(), "primary process must write the CSV"
+    assert not other.exists(), "non-primary process must not write output"
+
+    one = tmp_path / "one.csv"
+    assert _run_single([combo12_db, str(one)] + mode_args) == 0
+    assert two.read_bytes() == one.read_bytes()
