@@ -354,19 +354,16 @@ def compute_streamed(
             for _, m_b, t_b in bucketize_presence(presence)
         ]
 
-        from .ops.pallas_intersect import (
-            MAX_K_SINGLE_BLOCK,
-            pallas_fused_sn_block,
-        )
+        from .ops.pallas_intersect import pallas_fused_sn_block
 
         # On TPU the Pallas rectangular kernel keeps each (band, col_chunk)
         # S/N accumulator resident in VMEM across the protein axis; the XLA
-        # scan fallback round-trips it through HBM once per protein.
+        # scan fallback round-trips it through HBM once per protein.  Wide
+        # presence tensors take the K-blocked kernel automatically
+        # (ops.pallas_intersect K_BLOCK), so there is no K cliff here.
         use_pallas_blk = jax.default_backend() == "tpu"
         if not use_pallas_blk:
             _reject_approx(f"backend is {jax.default_backend()!r}, not tpu")
-        elif any(md.shape[2] > MAX_K_SINGLE_BLOCK for md, _ in buckets):
-            _reject_approx("a width bucket exceeds MAX_K_SINGLE_BLOCK")
 
         @partial(jax.jit, static_argnames=("nb", "nc"))
         def bucket_sn(md, td, rids, cids, drids, dcids, nb, nc):
@@ -374,7 +371,7 @@ def compute_streamed(
             mb = jnp.take(md, cids, axis=1)
             ta = jnp.take(td, drids, axis=1)
             tb = jnp.take(td, dcids, axis=1)
-            if use_pallas_blk and md.shape[2] <= MAX_K_SINGLE_BLOCK:
+            if use_pallas_blk:
                 return pallas_fused_sn_block(
                     ma, mb, ta, tb, approx=approx, precise=precise
                 )
@@ -614,11 +611,7 @@ def compute_fast(
     computes only |Q| x |T| cells instead of the (|Q|+|T|)^2 square.
     """
     from .etl.database import bucketize_presence
-    from .ops.pallas_intersect import (
-        MAX_K_SINGLE_BLOCK,
-        pallas_fused_aji,
-        pallas_fused_sn_block,
-    )
+    from .ops.pallas_intersect import pallas_fused_aji, pallas_fused_sn_block
 
     G = presence.m.shape[1]
     if np.array_equal(pairs.denom_a, pairs.db_a) and np.array_equal(
@@ -630,12 +623,7 @@ def compute_fast(
         # accumulators sum (counts are integers — only f32 S order changes).
         s_mat = n_mat = None
         for _, m_b, t_b in bucketize_presence(presence):
-            kb = m_b.shape[2]
-            pall = (
-                use_pallas
-                if use_pallas is not None
-                else kb <= MAX_K_SINGLE_BLOCK and G >= 256
-            )
+            pall = use_pallas if use_pallas is not None else G >= 256
             if pall:
                 fn = partial(pallas_fused_aji, approx=approx, precise=precise)
             else:
@@ -661,7 +649,6 @@ def compute_fast(
         rows, cols = pairs.row_db_ids, pairs.col_db_ids
         s_mat = n_mat = None
         for _, m_b, t_b in bucketize_presence(presence):
-            kb = m_b.shape[2]
             ma = upload_presence(np.ascontiguousarray(m_b[:, rows]))
             mb = upload_presence(np.ascontiguousarray(m_b[:, cols]))
             ta = jnp.asarray(t_b[:, pairs.row_denom_ids])
@@ -670,7 +657,6 @@ def compute_fast(
                 use_pallas
                 if use_pallas is not None
                 else jax.default_backend() == "tpu"
-                and kb <= MAX_K_SINGLE_BLOCK
             )
             if pall:
                 s_b, n_b = pallas_fused_sn_block(

@@ -25,8 +25,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 # One (tile, K) int8 block per side must fit VMEM comfortably:
-# 2 * 128 * 32768 = 8 MB of the ~16 MB budget.
+# 2 * 128 * 32768 = 8 MB of the ~16 MB budget.  Wider presence tensors are
+# NOT a capability cliff: the K-blocked kernels below add a fourth grid
+# dimension over K_BLOCK-wide slices with an int32 count scratch in VMEM
+# (counts accumulate across K blocks; the Jaccard transform runs once, on
+# the last block).
 MAX_K_SINGLE_BLOCK = 32768
+
+# K slice width of the K-blocked kernels.  4096 keeps the double-buffered
+# input blocks at 2*2*tile*4096 bytes (8.4 MB at tile=512) so large tiles
+# still fit VMEM alongside the f32+i32 output tiles and the i32 count
+# scratch; K is padded to a multiple (zero columns add 0 to every count).
+K_BLOCK = 4096
 
 
 def _pack_nibbles(m: jax.Array) -> jax.Array:
@@ -65,15 +75,9 @@ def _gram(a, b, packed):
     )
 
 
-def _accumulate(
-    p, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, approx, packed,
-    precise=False,
-):
-    """Shared kernel body: one protein's int8 Gram product + Jaccard
-    accumulation into the VMEM-resident (S, N) tile."""
-    a = ma_ref[0]  # (TILE, K[/2]) int8
-    b = mb_ref[0]
-    cnt = _gram(a, b, packed)
+def _jaccard_update(p, cnt, ta_ref, tb_ref, s_ref, n_ref, approx, precise):
+    """One protein's Jaccard transform of a finished count tile, accumulated
+    into the VMEM-resident (S, N) tile."""
     shared = cnt > 0
     # T tiles carry all P rows (TPU block shapes need >=8 sublanes); select
     # the current protein's row dynamically.  T arrives as f32 (exact:
@@ -104,6 +108,16 @@ def _accumulate(
     n_ref[:] += shared.astype(jnp.int32)
 
 
+def _accumulate(
+    p, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, approx, packed,
+    precise=False,
+):
+    """Shared kernel body: one protein's int8 Gram product + Jaccard
+    accumulation into the VMEM-resident (S, N) tile."""
+    cnt = _gram(ma_ref[0], mb_ref[0], packed)  # (TILE, TILE) int32
+    _jaccard_update(p, cnt, ta_ref, tb_ref, s_ref, n_ref, approx, precise)
+
+
 def _kernel(ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, *, approx=False,
             packed=False, precise=False):
     p = pl.program_id(2)
@@ -115,6 +129,194 @@ def _kernel(ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, *, approx=False,
 
     _accumulate(p, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, approx,
                 packed, precise)
+
+
+def _kernel_kblocked(
+    ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, cnt_ref, *, nkb,
+    p_dim, approx=False, precise=False,
+):
+    """K-blocked kernel body: grid (..., protein, K-block) with K innermost.
+    Integer counts accumulate into a VMEM scratch across the K blocks; the
+    Jaccard transform runs once per protein, on the last K block.  ``p_dim``
+    is the grid dimension index of the protein axis (K is p_dim + 1)."""
+    p = pl.program_id(p_dim)
+    kb = pl.program_id(p_dim + 1)
+
+    @pl.when((p == 0) & (kb == 0))
+    def _():
+        s_ref[:] = jnp.zeros_like(s_ref)
+        n_ref[:] = jnp.zeros_like(n_ref)
+
+    @pl.when(kb == 0)
+    def _():
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+    cnt_ref[:] += _gram(ma_ref[0], mb_ref[0], False)
+
+    @pl.when(kb == nkb - 1)
+    def _():
+        _jaccard_update(
+            p, cnt_ref[:], ta_ref, tb_ref, s_ref, n_ref, approx, precise
+        )
+
+
+def _sym_kernel_kblocked(rows_ref, cols_ref, *args, **kwargs):
+    """Scalar-prefetch wrapper: PrefetchScalarGridSpec hands the kernel the
+    prefetched (rows, cols) tile maps first; the body does not need them."""
+    _kernel_kblocked(*args, **kwargs)
+
+
+def _pad_k(m: jax.Array, k_block: int) -> jax.Array:
+    k = m.shape[2]
+    kp = ((k + k_block - 1) // k_block) * k_block
+    if kp != k:  # zero columns contribute 0 to every count
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, kp - k)))
+    return m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "k_block", "approx", "precise")
+)
+def _pallas_sn_kb(
+    m: jax.Array, t: jax.Array, tile: int, k_block: int = K_BLOCK,
+    approx: bool = False, precise: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Full-grid square S/N for presence tensors wider than one VMEM block:
+    grid (row tile, col tile, protein, K block)."""
+    m = _pad_k(m.astype(jnp.int8), k_block)
+    P, G, K = m.shape
+    nkb = K // k_block
+    grid = (G // tile, G // tile, P, nkb)
+    s, n = pl.pallas_call(
+        functools.partial(
+            _kernel_kblocked, nkb=nkb, p_dim=2, approx=approx, precise=precise
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, k_block), lambda i, j, p, kb: (p, i, kb)),
+            pl.BlockSpec((1, tile, k_block), lambda i, j, p, kb: (p, j, kb)),
+            pl.BlockSpec((P, tile), lambda i, j, p, kb: (0, i)),
+            pl.BlockSpec((P, tile), lambda i, j, p, kb: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, tile), lambda i, j, p, kb: (i, j)),
+            pl.BlockSpec((tile, tile), lambda i, j, p, kb: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, G), jnp.float32),
+            jax.ShapeDtypeStruct((G, G), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile, tile), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * G * G * K,
+            bytes_accessed=2 * P * G * K + 8 * G * G,
+            transcendentals=0,
+        ),
+    )(m, m, t.astype(jnp.float32), t.astype(jnp.float32))
+    return s, n
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "k_block", "approx", "precise")
+)
+def _pallas_sn_sym_kb(
+    m: jax.Array, t: jax.Array, tile: int, k_block: int = K_BLOCK,
+    approx: bool = False, precise: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Upper-triangle-only variant of _pallas_sn_kb (scalar-prefetched tile
+    maps like _pallas_sn_sym, plus the K-block grid dimension)."""
+    m = _pad_k(m.astype(jnp.int8), k_block)
+    P, G, K = m.shape
+    nkb = K // k_block
+    nt = G // tile
+    rows, cols = np.triu_indices(nt)
+    grid = (len(rows), P, nkb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, k_block), lambda q, p, kb, r, c: (p, r[q], kb)),
+            pl.BlockSpec((1, tile, k_block), lambda q, p, kb, r, c: (p, c[q], kb)),
+            pl.BlockSpec((P, tile), lambda q, p, kb, r, c: (0, r[q])),
+            pl.BlockSpec((P, tile), lambda q, p, kb, r, c: (0, c[q])),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, tile), lambda q, p, kb, r, c: (r[q], c[q])),
+            pl.BlockSpec((tile, tile), lambda q, p, kb, r, c: (r[q], c[q])),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile, tile), jnp.int32)],
+    )
+    s, n = pl.pallas_call(
+        functools.partial(
+            _sym_kernel_kblocked, nkb=nkb, p_dim=1, approx=approx,
+            precise=precise,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((G, G), jnp.float32),
+            jax.ShapeDtypeStruct((G, G), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * G * G * K * len(rows) // (nt * nt),
+            bytes_accessed=2 * P * G * K + 8 * G * G,
+            transcendentals=0,
+        ),
+    )(
+        jnp.asarray(rows, jnp.int32),
+        jnp.asarray(cols, jnp.int32),
+        m,
+        m,
+        t.astype(jnp.float32),
+        t.astype(jnp.float32),
+    )
+    upper = (jnp.arange(G)[:, None] // tile) <= (jnp.arange(G)[None, :] // tile)
+    s = jnp.where(upper, s, s.T)
+    n = jnp.where(upper, n, n.T)
+    return s, n
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "k_block", "approx", "precise")
+)
+def _pallas_sn_rect_kb(
+    ma: jax.Array, mb: jax.Array, ta: jax.Array, tb: jax.Array, tile: int,
+    k_block: int = K_BLOCK, approx: bool = False, precise: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """K-blocked rectangular fused (S, N) — _pallas_sn_rect for K wider than
+    one VMEM block."""
+    ma = _pad_k(ma.astype(jnp.int8), k_block)
+    mb = _pad_k(mb.astype(jnp.int8), k_block)
+    P, A, K = ma.shape
+    B = mb.shape[1]
+    nkb = K // k_block
+    grid = (A // tile, B // tile, P, nkb)
+    s, n = pl.pallas_call(
+        functools.partial(
+            _kernel_kblocked, nkb=nkb, p_dim=2, approx=approx, precise=precise
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, k_block), lambda i, j, p, kb: (p, i, kb)),
+            pl.BlockSpec((1, tile, k_block), lambda i, j, p, kb: (p, j, kb)),
+            pl.BlockSpec((P, tile), lambda i, j, p, kb: (0, i)),
+            pl.BlockSpec((P, tile), lambda i, j, p, kb: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, tile), lambda i, j, p, kb: (i, j)),
+            pl.BlockSpec((tile, tile), lambda i, j, p, kb: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((A, B), jnp.float32),
+            jax.ShapeDtypeStruct((A, B), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile, tile), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * A * B * K,
+            bytes_accessed=P * (A + B) * K + 8 * A * B,
+            transcendentals=0,
+        ),
+    )(ma, mb, ta.astype(jnp.float32), tb.astype(jnp.float32))
+    return s, n
 
 
 @functools.partial(
@@ -443,8 +645,9 @@ def pallas_fused_sn_block(
     (see _accumulate); default is the Newton-refined reciprocal."""
     P, A, K = ma.shape
     B = mb.shape[1]
+    blocked = K > MAX_K_SINGLE_BLOCK
     if tile is None:
-        tile = auto_tile(max(A, B), K)
+        tile = auto_tile(max(A, B), K_BLOCK if blocked else K)
     ap = -(-A // tile) * tile
     bp = -(-B // tile) * tile
     if ap != A:
@@ -453,9 +656,14 @@ def pallas_fused_sn_block(
     if bp != B:
         mb = jnp.pad(mb, ((0, 0), (0, bp - B), (0, 0)))
         tb = jnp.pad(tb, ((0, 0), (0, bp - B)))
-    s, n = _pallas_sn_rect(
-        ma, mb, ta, tb, tile=tile, approx=approx, precise=precise
-    )
+    if blocked:
+        s, n = _pallas_sn_rect_kb(
+            ma, mb, ta, tb, tile=tile, approx=approx, precise=precise
+        )
+    else:
+        s, n = _pallas_sn_rect(
+            ma, mb, ta, tb, tile=tile, approx=approx, precise=precise
+        )
     return s[:A, :B], n[:A, :B]
 
 
@@ -529,20 +737,27 @@ def pallas_fused_aji(
         m = jnp.pad(m, ((0, 0), (0, 0), (0, 1)))
         K += 1
     k_eff = K // 2 if packed else K
-    if k_eff > MAX_K_SINGLE_BLOCK:
+    blocked = k_eff > MAX_K_SINGLE_BLOCK
+    if blocked and packed:
         raise ValueError(
-            f"K={K} exceeds single-block VMEM budget; use ops.fused.fused_aji "
-            "(XLA scan) for very wide presence tensors"
+            "packed presence is not supported with K-blocked execution "
+            f"(K={K} > {2 * MAX_K_SINGLE_BLOCK}); unpack or use "
+            "ops.fused.fused_aji"
         )
     if tile is None:
-        tile = auto_tile(G, k_eff, symmetric=symmetric)
+        tile = auto_tile(G, K_BLOCK if blocked else k_eff, symmetric=symmetric)
     gp = ((G + tile - 1) // tile) * tile
     if gp != G:
         m = jnp.pad(m, ((0, 0), (0, gp - G), (0, 0)))
         t = jnp.pad(t, ((0, 0), (0, gp - G)))
-    s, n = (_pallas_sn_sym if symmetric else _pallas_sn)(
-        m, t, tile=tile, approx=approx, packed=packed, precise=precise
-    )
+    if blocked:
+        s, n = (_pallas_sn_sym_kb if symmetric else _pallas_sn_kb)(
+            m, t, tile=tile, approx=approx, precise=precise
+        )
+    else:
+        s, n = (_pallas_sn_sym if symmetric else _pallas_sn)(
+            m, t, tile=tile, approx=approx, packed=packed, precise=precise
+        )
     s = s[:G, :G]
     n = n[:G, :G]
     aji = s / n.astype(jnp.float32)

@@ -122,13 +122,95 @@ def test_auto_tile_symmetric_prefers_triangle_savings():
     assert auto_tile(1024, 1280, symmetric=True) == 512
 
 
-def test_pallas_rejects_oversized_k():
-    from parfastaai_tpu.ops.pallas_intersect import pallas_fused_aji
+def test_pallas_kblocked_kernels_match_xla():
+    """K-blocked kernel variants (4th grid dim + count scratch) must equal
+    the XLA fused paths exactly on N and to f32 tolerance on S — including
+    a K that is not a multiple of the block (zero-pad path)."""
+    from jax.experimental.pallas import tpu as pltpu
 
-    m = jnp.zeros((1, 8, 65536), jnp.int8)
-    t = jnp.zeros((1, 8), jnp.int32)
-    with pytest.raises(ValueError):
-        pallas_fused_aji(m, t)
+    from parfastaai_tpu.ops.fused import fused_sn_block
+    from parfastaai_tpu.ops.pallas_intersect import (
+        _pallas_sn_kb,
+        _pallas_sn_rect_kb,
+        _pallas_sn_sym_kb,
+    )
+
+    from parfastaai_tpu.ops.pallas_intersect import (
+        _pallas_sn,
+        _pallas_sn_rect,
+    )
+
+    m, t = _rand_presence(P=3, G=300, K=1200, seed=8)  # 1200 % 256 != 0
+    gp = 384  # padded to 3 tiles of 128
+    mp = np.pad(m, ((0, 0), (0, gp - 300), (0, 0)))
+    tp = np.pad(t, ((0, 0), (0, gp - 300)))
+    md, td = jnp.asarray(mp), jnp.asarray(tp)
+    _, ref_s, ref_n = fused_aji(md, td)
+    with pltpu.force_tpu_interpret_mode():
+        # The blocked kernels must be BIT-identical to the single-block
+        # kernel (identical count integers, identical divide sequence)…
+        base_s, base_n = _pallas_sn(md, td, tile=128)
+        s_full, n_full = _pallas_sn_kb(md, td, tile=128, k_block=256)
+        s_sym, n_sym = _pallas_sn_sym_kb(md, td, tile=128, k_block=256)
+    for s, n in ((s_full, n_full), (s_sym, n_sym)):
+        np.testing.assert_array_equal(np.asarray(n), np.asarray(base_n))
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(base_s))
+    # …and agree with the XLA scan on N exactly (counts are integers).
+    np.testing.assert_array_equal(np.asarray(n_full), np.asarray(ref_n))
+
+    # Rectangular: A x B block; precise=True selects the IEEE divide so the
+    # comparison against the XLA scan is tight.
+    A = 128
+    ma, mb = md[:, :A], md[:, A:]
+    ta, tb = td[:, :A], td[:, A:]
+    ref_s, ref_n = fused_sn_block(ma, mb, ta, tb)
+    with pltpu.force_tpu_interpret_mode():
+        base_s, base_n = _pallas_sn_rect(ma, mb, ta, tb, tile=128)
+        s, n = _pallas_sn_rect_kb(ma, mb, ta, tb, tile=128, k_block=256)
+        s_p, n_p = _pallas_sn_rect_kb(
+            ma, mb, ta, tb, tile=128, k_block=256, precise=True
+        )
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(base_s))
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(ref_s), rtol=2e-6)
+
+
+def test_pallas_wide_k_routes_to_blocked_path():
+    """K > MAX_K_SINGLE_BLOCK no longer raises: pallas_fused_aji and
+    pallas_fused_sn_block route to the K-blocked kernels and match the XLA
+    scan.  (Packed + wide K remains rejected.)"""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from parfastaai_tpu.ops.fused import fused_sn_block
+    from parfastaai_tpu.ops.pallas_intersect import (
+        MAX_K_SINGLE_BLOCK,
+        pallas_fused_aji,
+        pallas_fused_sn_block,
+    )
+
+    K = MAX_K_SINGLE_BLOCK + 300  # forces blocking + a ragged last block
+    m, t = _rand_presence(P=2, G=12, K=K, density=0.05, seed=9)
+    md, td = jnp.asarray(m), jnp.asarray(t)
+    ref_aji, ref_s, ref_n = fused_aji(md, td)
+    with pltpu.force_tpu_interpret_mode():
+        aji, s, n = pallas_fused_aji(md, td, tile=128, precise=True)
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=2e-6)
+
+    ref_s, ref_n = fused_sn_block(md[:, :4], md[:, 4:], td[:, :4], td[:, 4:])
+    with pltpu.force_tpu_interpret_mode():
+        s, n = pallas_fused_sn_block(
+            md[:, :4], md[:, 4:], td[:, :4], td[:, 4:], tile=128,
+            precise=True,
+        )
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=2e-6)
+
+    # packed halves the effective K, so rejection needs K > 2 * MAX.
+    m_wide = jnp.zeros((1, 8, 2 * MAX_K_SINGLE_BLOCK + 2), jnp.int8)
+    t_wide = jnp.zeros((1, 8), jnp.int32)
+    with pytest.raises(ValueError, match="packed"):
+        pallas_fused_aji(m_wide, t_wide, tile=128, packed=True)
 
 
 def test_pallas_packed_exact_match():
