@@ -145,14 +145,31 @@ def build_parser() -> argparse.ArgumentParser:
         help=(
             "Also write the sorted E array (proteinIndex, genomeA, genomeB) "
             "as CSV — the reference's debug print_e surface "
-            "(algorithm_impl.hpp:331-343), re-derived host-side; "
-            "all-vs-all and two-database modes only (E is a parity artifact, "
-            "never materialized on the production path)"
+            "(algorithm_impl.hpp:331-343), re-derived host-side with each "
+            "mode's isValidPair semantics (E is a parity artifact, never "
+            "materialized on the production path)"
         ),
     )
     p.add_argument("--quiet", action="store_true", help="Suppress phase timing output")
     p.add_argument("--version", action="version", version=__version__)
     return p
+
+
+def _print_args_box(args) -> None:
+    """Run-configuration box, mirroring the reference's AppParams::print
+    (src/main.cpp:90-112: same five rows, same box drawing)."""
+    rows = [
+        f" Input Database  : {args.path_to_input_db} ",
+        f" Query Database  : {args.query_db} ",
+        f" Query Subset    : {args.query_subset} ",
+        f" Output File     : {args.path_to_output_file} ",
+        f" Field Separator : {args.separator} ",
+    ]
+    w = max(len(r) for r in rows)
+    print(" ┌" + "─" * w + "┐")
+    for r in rows:
+        print(" │" + r.ljust(w) + "│")
+    print(" └" + "─" * w + "┘")
 
 
 def _init_backend() -> bool:
@@ -207,6 +224,8 @@ def run(argv: list[str] | None = None) -> int:
     # multi-host output semantics follow its single printOutput call).
     verbose = not args.quiet and primary
     _enable_compilation_cache()
+    if verbose:
+        _print_args_box(args)
     try:
         if (args.approx or args.precise) and not (args.fast or args.streamed):
             # The divide selectors act on the fused Pallas kernel only; the
@@ -234,22 +253,21 @@ def run(argv: list[str] | None = None) -> int:
                 pairs = all_vs_all(db.meta)
 
         with phase_timer("Presence ETL       ", enabled=verbose):
-            presence = db.load_presence()
-        if args.dump_e:
-            if args.query_subset:
-                raise PFAAIError(
-                    ErrorCode.CONSTRUCT_ERROR,
-                    "--dump-e supports all-vs-all and two-database modes only",
-                )
-            from .etl.derive import derive_qt, derive_single
+            presence = db.load_presence(verbose=verbose)
+        if args.dump_e and primary:
+            from .etl.derive import derive_qsub, derive_qt, derive_single
 
-            if primary:
-                with phase_timer("E derivation       ", enabled=verbose):
-                    _, _, _, e = (derive_qt if two_db else derive_single)(db)
-                    with open(args.dump_e, "w") as fp:
-                        fp.write("proteinIndex,genomeA,genomeB\n")
-                        for row in e:
-                            fp.write(f"{row[0]},{row[1]},{row[2]}\n")
+            with phase_timer("E derivation       ", enabled=verbose):
+                if two_db:
+                    _, _, _, e = derive_qt(db)
+                elif args.query_subset:
+                    _, _, _, e = derive_qsub(db, queries)
+                else:
+                    _, _, _, e = derive_single(db)
+                with open(args.dump_e, "w") as fp:
+                    fp.write("proteinIndex,genomeA,genomeB\n")
+                    for row in e:
+                        fp.write(f"{row[0]},{row[1]},{row[2]}\n")
         db.close()
         profiler = None
         if args.profile:

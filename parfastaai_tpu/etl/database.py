@@ -160,15 +160,23 @@ class SCPDatabase:
                 t[p, gid] = nbytes // 4
         return t
 
-    def load_presence(self, n_threads: int | None = None) -> PresenceData:
+    def load_presence(
+        self, n_threads: int | None = None, verbose: bool = False
+    ) -> PresenceData:
         """Build the compacted presence tensor from the '{SCP}_tetras' tables.
 
         Proteins are read in parallel (one read-only SQLite connection per
         worker — SQLite supports concurrent readers, and the C library
         releases the GIL) — the host-side analogue of the reference's
-        per-thread row streaming (ds_helper.hpp:126-162)."""
+        per-thread row streaming (ds_helper.hpp:126-162).
+
+        ``verbose`` prints one timing line per construction step, mirroring
+        the reference's per-phase timers (interface.hpp:306-327: Lc/Lp, F,
+        T; E has no production equivalent — it never materializes)."""
         import os
         from concurrent.futures import ThreadPoolExecutor
+
+        from ..utils.timing import phase_timer
 
         P = len(self.meta.protein_set)
         G = len(self.meta.genome_set)
@@ -200,24 +208,33 @@ class SCPDatabase:
             finally:
                 conn.close()
 
-        if n_threads > 1:
-            with ThreadPoolExecutor(n_threads) as ex:
-                per_protein = list(ex.map(read_protein, self.meta.protein_set))
-        else:
-            per_protein = [read_protein(prot) for prot in self.meta.protein_set]
+        with phase_timer("  Tetras read      ", enabled=verbose):
+            if n_threads > 1:
+                with ThreadPoolExecutor(n_threads) as ex:
+                    per_protein = list(
+                        ex.map(read_protein, self.meta.protein_set)
+                    )
+            else:
+                per_protein = [
+                    read_protein(prot) for prot in self.meta.protein_set
+                ]
         widths = np.asarray([len(t) for t, _ in per_protein], dtype=np.int32)
 
-        K = max(LANE, _round_up(int(widths.max()) if P else LANE, LANE))
-        m = np.zeros((P, G, K), dtype=np.uint8)
-        tetramer_ids: list[np.ndarray] = []
-        for p, (tet_arr, blobs) in enumerate(per_protein):
-            tetramer_ids.append(tet_arr)
-            _scatter_presence(m[p], blobs)
+        with phase_timer("  Presence scatter ", enabled=verbose):
+            K = max(LANE, _round_up(int(widths.max()) if P else LANE, LANE))
+            m = np.zeros((P, G, K), dtype=np.uint8)
+            tetramer_ids: list[np.ndarray] = []
+            for p, (tet_arr, blobs) in enumerate(per_protein):
+                tetramer_ids.append(tet_arr)
+                _scatter_presence(m[p], blobs)
+
+        with phase_timer("  T matrix         ", enabled=verbose):
+            t = self.load_t_matrix()
 
         return PresenceData(
             meta=self.meta,
             m=m,
-            t=self.load_t_matrix(),
+            t=t,
             widths=widths,
             tetramer_ids=tetramer_ids,
         )
@@ -279,7 +296,7 @@ class QueryTargetDatabase:
                 t[p, nt + gid] = nbytes // 4
         return t
 
-    def load_presence(self) -> PresenceData:
+    def load_presence(self, verbose: bool = False) -> PresenceData:
         """Presence over the union id space and the union of both DBs'
         tetramers per shared protein.
 
@@ -289,6 +306,8 @@ class QueryTargetDatabase:
         column union here, because a tetramer present in only one DB
         contributes zero to every query x target product.
         """
+        from ..utils.timing import phase_timer
+
         cur = self.conn.cursor()
         P = len(self.meta.protein_set)
         nt = len(self.meta.genome_set)
@@ -297,39 +316,44 @@ class QueryTargetDatabase:
 
         rows: list[tuple[np.ndarray, dict[int, tuple[np.ndarray, np.ndarray]]]] = []
         widths = np.zeros(P, dtype=np.int32)
-        for p, prot in enumerate(self.meta.protein_set):
-            tgt = {
-                tet: _blob_to_ids(blob)
-                for tet, blob in cur.execute(
-                    f"SELECT tetramer, genomes FROM main.'{prot}_tetras'"
-                )
-            }
-            qry = {
-                tet: _blob_to_ids(blob)
-                for tet, blob in cur.execute(
-                    f"SELECT tetramer, genomes FROM QueryDB.'{prot}_tetras'"
-                )
-            }
-            tets = np.asarray(sorted(set(tgt) | set(qry)), dtype=np.int32)
-            rows.append((tets, tgt, qry))
-            widths[p] = len(tets)
+        with phase_timer("  Tetras read      ", enabled=verbose):
+            for p, prot in enumerate(self.meta.protein_set):
+                tgt = {
+                    tet: _blob_to_ids(blob)
+                    for tet, blob in cur.execute(
+                        f"SELECT tetramer, genomes FROM main.'{prot}_tetras'"
+                    )
+                }
+                qry = {
+                    tet: _blob_to_ids(blob)
+                    for tet, blob in cur.execute(
+                        f"SELECT tetramer, genomes FROM QueryDB.'{prot}_tetras'"
+                    )
+                }
+                tets = np.asarray(sorted(set(tgt) | set(qry)), dtype=np.int32)
+                rows.append((tets, tgt, qry))
+                widths[p] = len(tets)
 
-        K = max(LANE, _round_up(int(widths.max()) if P else LANE, LANE))
-        m = np.zeros((P, G, K), dtype=np.uint8)
-        tetramer_ids: list[np.ndarray] = []
-        for p, (tets, tgt, qry) in enumerate(rows):
-            tetramer_ids.append(tets)
-            for j, tet in enumerate(tets):
-                tet = int(tet)
-                if tet in tgt:
-                    m[p, tgt[tet], j] = 1
-                if tet in qry:
-                    m[p, nt + qry[tet], j] = 1
+        with phase_timer("  Presence scatter ", enabled=verbose):
+            K = max(LANE, _round_up(int(widths.max()) if P else LANE, LANE))
+            m = np.zeros((P, G, K), dtype=np.uint8)
+            tetramer_ids: list[np.ndarray] = []
+            for p, (tets, tgt, qry) in enumerate(rows):
+                tetramer_ids.append(tets)
+                for j, tet in enumerate(tets):
+                    tet = int(tet)
+                    if tet in tgt:
+                        m[p, tgt[tet], j] = 1
+                    if tet in qry:
+                        m[p, nt + qry[tet], j] = 1
+
+        with phase_timer("  T matrix         ", enabled=verbose):
+            t = self.load_t_matrix()
 
         return PresenceData(
             meta=self.meta,
             m=m,
-            t=self.load_t_matrix(),
+            t=t,
             widths=widths,
             tetramer_ids=tetramer_ids,
         )

@@ -22,9 +22,6 @@ offset by |target genomes| (scp_db.hpp:402-528).
 
 from __future__ import annotations
 
-
-from itertools import combinations
-
 import numpy as np
 
 from ..constants import NTETRAMERS
@@ -49,8 +46,13 @@ def _f_rows_single(db: SCPDatabase) -> tuple[np.ndarray, np.ndarray, list[np.nda
     return tets[order], prots[order], [blobs[i] for i in order]
 
 
-def derive_single(db: SCPDatabase):
-    """(Lc, Lp, F, E) for a single database, all-vs-all pair semantics."""
+def _derive_single_arrays(db: SCPDatabase, pair_fn):
+    """(Lc, Lp, F, E) over one database with mode-specific E pair emission.
+
+    ``pair_fn(gids_sorted)`` returns the (n, 2) valid (genomeA, genomeB)
+    pairs of one (tetramer, protein) block — the mode's ``isValidPair``
+    filter (reference constructTetramerTuples, ds_helper.hpp:270-357) —
+    or None when the block yields no pairs."""
     tets, prots, blobs = _f_rows_single(db)
     sizes = np.asarray([len(b) for b in blobs], dtype=np.int64)
 
@@ -67,13 +69,9 @@ def derive_single(db: SCPDatabase):
         f[off : off + n, 0] = p
         f[off : off + n, 1] = gids
         off += n
-        # all-vs-all: every (a, b) with a < b (ds_impl.hpp isValidPair a<b);
-        # blobs are genome-id sorted, so index order == id order.
-        if n > 1:
-            pairs = np.fromiter(
-                (x for ab in combinations(sorted(gids.tolist()), 2) for x in ab),
-                dtype=np.int32,
-            ).reshape(-1, 2)
+        # Blobs are genome-id sorted, so index order == id order.
+        pairs = pair_fn(np.sort(gids).astype(np.int32))
+        if pairs is not None and len(pairs):
             block = np.empty((len(pairs), 3), dtype=np.int32)
             block[:, 0] = p
             block[:, 1:] = pairs
@@ -85,6 +83,50 @@ def derive_single(db: SCPDatabase):
     )
     order = np.lexsort((e[:, 0], e[:, 2], e[:, 1]))  # (genomeA, genomeB, protein)
     return lc, lp, f, e[order]
+
+
+def derive_single(db: SCPDatabase):
+    """(Lc, Lp, F, E) for a single database, all-vs-all pair semantics:
+    every (a, b) with a < b (ds_impl.hpp:38-151 isValidPair)."""
+
+    def pair_fn(g: np.ndarray):
+        if len(g) < 2:
+            return None
+        a, b = np.triu_indices(len(g), k=1)
+        return np.stack([g[a], g[b]], axis=1)
+
+    return _derive_single_arrays(db, pair_fn)
+
+
+def derive_qsub(db: SCPDatabase, query_names: list[str]):
+    """(Lc, Lp, F, E) for query-subset semantics: valid pairs are
+    (both query and a < b) or (a query, b target) — reference isValidPair,
+    ds_impl.hpp:270-273; genomeA must be a query genome
+    (constructTetramerTuples's isQryGenome guard, ds_helper.hpp:314-316).
+    Lc/Lp/F are identical to all-vs-all (the DB layer is mode-blind)."""
+    name_to_id = {n: i for i, n in enumerate(db.meta.genome_set)}
+    missing = [q for q in query_names if q not in name_to_id]
+    if missing:
+        raise ValueError(f"Query genome(s) not in database: {missing}")
+    is_query = np.zeros(len(db.meta.genome_set), dtype=bool)
+    is_query[[name_to_id[q] for q in query_names]] = True
+
+    def pair_fn(g: np.ndarray):
+        qm = is_query[g]
+        q, t = g[qm], g[~qm]
+        parts = []
+        if len(q) >= 2:
+            a, b = np.triu_indices(len(q), k=1)
+            parts.append(np.stack([q[a], q[b]], axis=1))
+        if len(q) and len(t):
+            parts.append(
+                np.stack(
+                    [np.repeat(q, len(t)), np.tile(t, len(q))], axis=1
+                )
+            )
+        return np.concatenate(parts) if parts else None
+
+    return _derive_single_arrays(db, pair_fn)
 
 
 def derive_pair_extents(

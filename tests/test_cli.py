@@ -112,14 +112,46 @@ def test_dump_e_flag(data_dir, tmp_path):
     np.testing.assert_array_equal(e, golden)
 
 
-def test_dump_e_rejected_for_qsub(data_dir, tmp_path, combo12_db):
+def test_dump_e_qsub_mode(data_dir, tmp_path, combo12_db):
+    """--dump-e in query-subset mode (VERDICT r1 item 7): the qsub E must be
+    exactly the all-vs-all E rows whose pairs satisfy the qsub isValidPair
+    (both-query a<b, or query x target; ds_impl.hpp:270-273)."""
+    from parfastaai_tpu.etl.database import SCPDatabase
+
+    db = SCPDatabase(combo12_db)
+    names = db.meta.genome_set
+    db.close()
     queries = tmp_path / "q.txt"
-    queries.write_text("Xanthomonas_albilineans_GCA_000962915_1.fna.gz\n")
-    rc = run(
-        [combo12_db, str(tmp_path / "o.csv"), "-q", str(queries), "--quiet",
-         "--dump-e", str(tmp_path / "e.csv")]
-    )
-    assert rc == 3
+    qnames = [names[0], names[3]]
+    queries.write_text("\n".join(qnames) + "\n")
+
+    e_q = tmp_path / "e_qsub.csv"
+    assert run(
+        [combo12_db, str(tmp_path / "o1.csv"), "-q", str(queries), "--quiet",
+         "--dump-e", str(e_q)]
+    ) == 0
+    e_all = tmp_path / "e_all.csv"
+    assert run(
+        [combo12_db, str(tmp_path / "o2.csv"), "--quiet",
+         "--dump-e", str(e_all)]
+    ) == 0
+
+    def load(p):
+        lines = p.read_text().splitlines()[1:]
+        return np.array([[int(x) for x in ln.split(",")] for ln in lines])
+
+    eq, ea = load(e_q), load(e_all)
+    is_q = np.zeros(len(names), dtype=bool)
+    is_q[[names.index(q) for q in qnames]] = True
+    a, b = ea[:, 1], ea[:, 2]
+    keep = (is_q[a] & is_q[b]) | (is_q[a] & ~is_q[b])
+    # All-vs-all E only holds a<b rows; qsub additionally emits (query a,
+    # target b) with a > b, which the a<b rows mirror.
+    mirror = ~is_q[a] & is_q[b]
+    em = ea[mirror][:, [0, 2, 1]]
+    want = np.concatenate([ea[keep], em])
+    order = np.lexsort((want[:, 0], want[:, 2], want[:, 1]))
+    np.testing.assert_array_equal(eq, want[order])
 
 
 def test_approx_precise_flag_validation(data_dir, tmp_path, capsys):
