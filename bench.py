@@ -25,6 +25,13 @@ exactly one JSON line.
 Env knobs: PARFASTAAI_BENCH_G (default 4096), PARFASTAAI_BENCH_IMPL
 (xla | pallas, default pallas), PARFASTAAI_BENCH_STEPS (long-chain length,
 default 16).
+
+End-to-end mode (PARFASTAAI_BENCH_MODE=e2e): full pipeline wall —
+synthetic SQLite DB (generated once, cached in /tmp) -> ETL -> device ->
+CSV — through the REAL engine entry points, with a per-phase breakdown, for
+both the fused (--fast equivalent) and streamed paths.  Reproducible by one
+command: ``PARFASTAAI_BENCH_MODE=e2e python bench.py``.  These are the
+numbers recorded in BASELINE_MEASURED.json's end_to_end section.
 """
 
 from __future__ import annotations
@@ -136,6 +143,110 @@ def main() -> None:
     )
 
 
+def main_e2e() -> None:
+    """End-to-end pipeline wall: SQLite DB -> ETL -> device -> CSV.
+
+    Baseline comparison: the measured reference rate (133.1 pairs/s,
+    BASELINE_MEASURED.json) extrapolated to this pair count — charitable to
+    the reference, whose per-pair cost grows with G (E sort).
+    """
+    import jax
+
+    cache_dir = os.environ.get(
+        "PARFASTAAI_JIT_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "parfastaai_tpu_jit"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    g = int(os.environ.get("PARFASTAAI_BENCH_G", "4096"))
+    path = os.environ.get(
+        "PARFASTAAI_BENCH_DB", f"/tmp/pfaai_bench_synth{g}.db"
+    )
+    if not os.path.exists(path):
+        from parfastaai_tpu.tools.synth_db import generate
+
+        t0 = time.perf_counter()
+        generate(path, n_genomes=g, n_proteins=80, pool_size=1200,
+                 tetras_per_genome=400, seed=0)
+        print(
+            f"# generated {path} in {time.perf_counter() - t0:.1f}s "
+            "(one-time, not part of the e2e wall)",
+            file=sys.stderr,
+        )
+
+    from parfastaai_tpu.engine import compute_fast, compute_streamed
+    from parfastaai_tpu.etl.database import SCPDatabase
+    from parfastaai_tpu.io.csv_writer import write_aji_csv
+    from parfastaai_tpu.modes import all_vs_all
+
+    phases: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        phases[name] = round(time.perf_counter() - t0, 2)
+        return out
+
+    streamed_only = bool(os.environ.get("PARFASTAAI_BENCH_STREAMED_ONLY"))
+    t_total = time.perf_counter()
+    db = timed("db_open", lambda: SCPDatabase(path))
+    pairs = all_vs_all(db.meta)
+    presence = timed("etl", db.load_presence)
+    db.close()
+    os.environ.setdefault("PARFASTAAI_FORCE_DEVICE", "1")
+    if streamed_only:
+        fused_wall = float("nan")
+    else:
+        result = timed("fused_aji", lambda: compute_fast(presence, pairs))
+        timed(
+            "csv",
+            lambda: write_aji_csv(
+                f"/tmp/pfaai_bench_e2e_{g}.csv", pairs, result.aji, ","
+            ),
+        )
+        fused_wall = time.perf_counter() - t_total
+
+    # Streamed path (same DB, CSV written band by band).
+    t0 = time.perf_counter()
+    compute_streamed(
+        presence,
+        pairs.row_db_ids,
+        pairs.col_db_ids,
+        f"/tmp/pfaai_bench_e2e_{g}_streamed.csv",
+        pairs.query_names,
+        pairs.target_names,
+    )
+    phases["streamed_aji_csv"] = round(time.perf_counter() - t0, 2)
+    streamed_wall = phases["db_open"] + phases["etl"] + phases["streamed_aji_csv"]
+
+    n_pairs = g * (g - 1) // 2
+    ref_seconds = n_pairs / BASELINE_PAIRS_PER_SEC
+    main_wall = streamed_wall if streamed_only else fused_wall
+    print(
+        json.dumps(
+            {
+                "metric": "e2e wall: SQLite->ETL->device->CSV "
+                "(synth G=%d P=80, %d pairs, %s path)"
+                % (g, n_pairs, "streamed" if streamed_only else "fused"),
+                "value": round(main_wall, 2),
+                "unit": "s",
+                "vs_baseline": round(ref_seconds / main_wall, 1),
+                "phases": phases,
+                "streamed_wall_seconds": round(streamed_wall, 2),
+                "reference_extrapolated_seconds": round(ref_seconds),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    main()
+    if os.environ.get("PARFASTAAI_BENCH_MODE") == "e2e":
+        main_e2e()
+    else:
+        main()

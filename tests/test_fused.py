@@ -275,6 +275,26 @@ def test_pallas_diag_enumeration_matches_full():
         np.testing.assert_array_equal(np.asarray(s), np.asarray(ref_s))
 
 
+def test_pallas_two_proteins_per_step_matches():
+    """The two-proteins-per-grid-step experiment variant equals the default
+    triu kernel bit-for-bit, odd P included (zero-protein pad is inert)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from parfastaai_tpu.ops.pallas_intersect import (
+        _pallas_sn_sym,
+        _pallas_sn_sym_2p,
+    )
+
+    for P in (3, 4):
+        m, t = _rand_presence(P=P, G=384, K=256, seed=10)
+        md, td = jnp.asarray(m), jnp.asarray(t)
+        with pltpu.force_tpu_interpret_mode():
+            ref_s, ref_n = _pallas_sn_sym(md, td, tile=128)
+            s, n = _pallas_sn_sym_2p(md, td, tile=128)
+        np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(ref_s))
+
+
 def test_pallas_band_decomposition_matches_full():
     """The affine band-per-row symmetric variant equals the full grid."""
     from jax.experimental.pallas import tpu as pltpu
