@@ -142,6 +142,17 @@ def _is_rect_pairs(pairs: PairSpace) -> bool:
 
 
 @jax.jit
+def _mask_aji(s: jax.Array, n: jax.Array) -> jax.Array:
+    """Finish one streamed block ON device: AJI = S/N with no-shared-protein
+    cells (n == 0) forced to 0 (the reference leaves those CSV cells
+    untouched => 0, src/main.cpp:133-175).  Masking here means only this one
+    f32 array crosses the device->host wire per block — half the bytes of
+    shipping (aji, n) separately, and the measured streamed path is
+    transfer-bound on this host (BASELINE_MEASURED.json end_to_end)."""
+    return jnp.where(n == 0, jnp.float32(0), s / n.astype(jnp.float32))
+
+
+@jax.jit
 def _gather_triu(s_mat: jax.Array, n_mat: jax.Array):
     """Gather the row-major upper triangle of (g, g) matrices with indices
     generated on device (searchsorted over row offsets — no host->device
@@ -254,10 +265,14 @@ def compute_streamed(
     matrix no longer fits (G ~ 10^5 => 5 * 10^9 pairs), neither the exact
     engine nor the fused full-matrix kernels apply.  This path walks the
     output in (band x col_chunk) blocks — each block is one fused-device call
-    (ops/fused.fused_sn_block) and one small transfer — so host and device
-    memory stay O(P*G*K + band*G) regardless of G, and the CSV is written
-    incrementally in row order (reference layout, src/main.cpp:133-175:
+    (ops/fused.fused_sn_block) and one masked-AJI f32 transfer — so host and
+    device memory stay O(P*G*K + band*G) regardless of G, and the CSV is
+    written incrementally in row order (reference layout, src/main.cpp:133-175:
     header of column names, one row per row genome, same-genome cells 0).
+    Bands are software-pipelined: band k+1's device blocks are dispatched
+    (with async host copies) before band k is materialized, and a writer
+    thread formats/writes band k-1 concurrently — device compute, PCIe/tunnel
+    transfer, and CSV IO all overlap.
 
     f32 on device (~1e-7 relative error, like compute_fast); denominator T
     columns default to the DB id columns but callers can override them via
@@ -340,7 +355,7 @@ def compute_streamed(
                 s += j
                 n += shared
             with np.errstate(divide="ignore", invalid="ignore"):
-                return s / n.astype(np.float32), n
+                return np.where(n == 0, np.float32(0), s / n.astype(np.float32))
 
         md = td = None
     elif mesh is None:
@@ -383,7 +398,7 @@ def compute_streamed(
                 s_b, n_b = bucket_sn(md_b, td_b, rids, cids, drids, dcids, nb, nc)
                 s = s_b if s is None else s + s_b
                 n = n_b if n is None else n + n_b
-            return s / n.astype(jnp.float32), n
+            return _mask_aji(s, n)
 
         md = td = None
     else:
@@ -449,7 +464,7 @@ def compute_streamed(
                 s_b, n_b = bucket_sn(md_b, td_b, rids, cids, drids, dcids, nb, nc)
                 s = s_b if s is None else s + s_b
                 n = n_b if n is None else n + n_b
-            return s / n.astype(jnp.float32), n
+            return _mask_aji(s, n)
 
         md = td = None
 
@@ -472,41 +487,101 @@ def compute_streamed(
         if multiproc:
             rows_done = broadcast_from_primary(rows_done)
     fp = open(out_path, "a" if rows_done else "w") if primary else None
+
+    # Three-stage software pipeline (the measured streamed path is bound by
+    # the device->host transfer plus the CSV format/write, not device
+    # compute — BASELINE_MEASURED.json end_to_end):
+    #   stage 1 (main thread): dispatch band k+1's device blocks (async) and
+    #     start their host copies (copy_to_host_async);
+    #   stage 2 (main thread): materialize band k (the copy is already in
+    #     flight) and assemble its row slab;
+    #   stage 3 (writer thread): format + write band k-1 — the native
+    #     formatter and file writes run without the GIL, so they overlap
+    #     stage 1/2 wall-clock.
+    import queue as _queue
+    import threading
+
+    write_q: _queue.Queue = _queue.Queue(maxsize=2)
+    werr: list[BaseException] = []
+
+    def _writer() -> None:
+        try:
+            while True:
+                item = write_q.get()
+                if item is None:
+                    return
+                r0, rows_aji = item
+                for i, row in enumerate(
+                    format_matrix(rows_aji.astype(np.float64), separator)
+                ):
+                    fp.write(row_names[r0 + i] + separator + row + "\n")
+        except BaseException as exc:  # surfaced to the producer after join
+            werr.append(exc)
+            while write_q.get() is not None:  # keep the producer unblocked
+                pass
+
+    def _dispatch(r0: int):
+        """Issue every device block of one row band; returns device arrays
+        with host copies already in flight (nothing here blocks on compute)."""
+        rids = row_ids[r0 : r0 + band]
+        pad_r = band - len(rids)
+        rpad = np.pad(rids, (0, pad_r))
+        drpad = np.pad(row_denom_ids[r0 : r0 + band], (0, pad_r))
+        chunks = []
+        for c0 in range(0, len(col_ids), col_chunk):
+            cids = col_ids[c0 : c0 + col_chunk]
+            pad_c = col_chunk - len(cids)
+            cpad = np.pad(cids, (0, pad_c))
+            dcpad = np.pad(col_denom_ids[c0 : c0 + col_chunk], (0, pad_c))
+            aji = block(md, td, rpad, cpad, drpad, dcpad, band, col_chunk)
+            if multiproc:
+                aji = gather_to_host(aji)  # collective: every process joins
+            elif hasattr(aji, "copy_to_host_async"):
+                aji.copy_to_host_async()
+            chunks.append((c0, len(cids), aji))
+        return rids, chunks
+
+    def _assemble(rids: np.ndarray, chunks) -> np.ndarray:
+        rows_aji = np.zeros((len(rids), len(col_ids)), dtype=np.float32)
+        for c0, ncols, aji in chunks:
+            rows_aji[:, c0 : c0 + ncols] = np.asarray(aji)[
+                : len(rids), :ncols
+            ]
+        # Reference leaves same-genome cells untouched => 0.  (n == 0 cells
+        # were already zeroed on device by _mask_aji.)
+        rows_aji[rids[:, None] == col_ids[None, :]] = 0.0
+        return rows_aji
+
+    writer = (
+        threading.Thread(target=_writer, name="pfaai-csv-writer", daemon=True)
+        if primary
+        else None
+    )
     try:
-        if primary and not rows_done:
-            fp.write(header)
+        if primary:
+            if not rows_done:
+                fp.write(header)
+            writer.start()
+        pending = None  # (r0, rids, chunks) of the band one step behind
         for r0 in range(rows_done, len(row_ids), band):
-            rids = row_ids[r0 : r0 + band]
-            pad_r = band - len(rids)
-            rpad = np.pad(rids, (0, pad_r))
-            drpad = np.pad(row_denom_ids[r0 : r0 + band], (0, pad_r))
-            rows_aji = np.zeros((len(rids), len(col_ids)), dtype=np.float32)
-            for c0 in range(0, len(col_ids), col_chunk):
-                cids = col_ids[c0 : c0 + col_chunk]
-                pad_c = col_chunk - len(cids)
-                cpad = np.pad(cids, (0, pad_c))
-                dcpad = np.pad(col_denom_ids[c0 : c0 + col_chunk], (0, pad_c))
-                aji, n = block(
-                    md, td, rpad, cpad, drpad, dcpad, band, col_chunk
-                )
-                if multiproc:
-                    aji = gather_to_host(aji)
-                    n = gather_to_host(n)
-                blk = np.array(aji[: len(rids), : len(cids)])
-                nblk = np.asarray(n[: len(rids), : len(cids)])
-                blk[nblk == 0] = 0.0  # no shared protein => untouched cell
-                rows_aji[:, c0 : c0 + len(cids)] = blk
-            if not primary:
-                continue
-            # Reference leaves same-genome cells untouched => 0.
-            rows_aji[rids[:, None] == col_ids[None, :]] = 0.0
-            for i, row in enumerate(
-                format_matrix(rows_aji.astype(np.float64), separator)
-            ):
-                fp.write(row_names[r0 + i] + separator + row + "\n")
+            rids, chunks = _dispatch(r0)
+            if pending is not None and primary:
+                pr0, prids, pchunks = pending
+                write_q.put((pr0, _assemble(prids, pchunks)))
+            pending = (r0, rids, chunks)
+            if werr:
+                break
+        if pending is not None and primary and not werr:
+            pr0, prids, pchunks = pending
+            write_q.put((pr0, _assemble(prids, pchunks)))
     finally:
+        if writer is not None and writer.is_alive():
+            write_q.put(None)
+            writer.join()
         if fp is not None:
             fp.close()
+    if werr:
+        raise werr[0]
 
 
 def compute_sharded(
