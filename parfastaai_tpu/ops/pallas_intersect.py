@@ -169,7 +169,15 @@ def _pallas_sn_sym_2p(
     the next step's MXU grams better.  WINNER: this is the default
     symmetric kernel whenever the doubled (2, tile, K) input blocks fit
     VMEM (pallas_fused_aji routes here for k_eff <= MAX_K_SINGLE_BLOCK // 4,
-    with the tile chosen by auto_tile(G, 2 * k_eff))."""
+    with the tile chosen by auto_tile(G, 2 * k_eff)).
+
+    Pushing further was measured and lost (same protocol, 2026-08-19,
+    2p/512 re-measured 1131M the same session): 4 proteins/step at tile=512
+    exceeds scoped VMEM by 120 KB (Mosaic stack OOM, 16.12M > 16.00M);
+    3/step at 512 drops to 954M (pp=3 breaks the even MXU/VPU interleave);
+    4 or 8/step at tile=256 reach only ~760M (small tiles pay G/tile times
+    more HBM re-reads, _REL_RATE).  Two per step is the VMEM-feasible
+    optimum of this family."""
     P, G, K = m.shape
     m = m.astype(jnp.int8)
     if P % 2:

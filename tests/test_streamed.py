@@ -75,6 +75,41 @@ def test_streamed_matches_exact_all_vs_all(subset1_db, tmp_path):
     np.testing.assert_allclose(vals, exact_mat, rtol=1e-6, atol=0)
 
 
+def test_streamed_writer_error_propagates(subset1_db, tmp_path, monkeypatch):
+    """A failure in the writer thread (e.g. disk full mid-run) must surface
+    as an exception to the caller, not hang the pipeline or pass silently."""
+    db = SCPDatabase(subset1_db)
+    pres = db.load_presence()
+    db.close()
+    g = len(db.meta.genome_set)
+    ids = np.arange(g, dtype=np.int32)
+    names = db.meta.genome_set
+
+    calls = {"n": 0}
+    # compute_streamed does `from .io.csv_writer import format_matrix` at
+    # call time, so patching the module attribute reaches the writer thread.
+    from parfastaai_tpu.io import csv_writer
+
+    orig = csv_writer.format_matrix
+
+    def boom(mat, sep):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise OSError("disk full (simulated)")
+        return orig(mat, sep)
+
+    monkeypatch.setattr(csv_writer, "format_matrix", boom)
+    out = tmp_path / "fail.csv"
+    try:
+        compute_streamed(
+            pres, ids, ids, str(out), names, names, band=1, col_chunk=4
+        )
+    except OSError as exc:
+        assert "disk full" in str(exc)
+    else:
+        raise AssertionError("writer failure did not propagate")
+
+
 def test_streamed_device_path_matches_host(subset1_db, tmp_path, monkeypatch):
     """The jitted device block path (used above HOST_WORK_LIMIT) must agree
     with the host-fallback path."""
