@@ -188,6 +188,28 @@ class SCPDatabase:
                 int(env) if env else max(1, min(8, os.cpu_count() or 1))
             )
 
+        # Fused native ETL (C++/OpenMP, pfaai_sqlite.cpp): read + scatter + T
+        # in one pass with no per-row Python objects.  Measured on the bench
+        # host at G=4096: 5.5 s -> ~1.5 s.  Any failure falls through to the
+        # stdlib-sqlite3 path below, which builds identical tensors (same
+        # queries through the same C library; parity pinned by
+        # tests/test_native.py::test_native_etl_matches_python).
+        from ..native import native_load_presence
+
+        with phase_timer("  Native ETL       ", enabled=verbose):
+            res = native_load_presence(
+                self.path, self.meta.protein_set, G, n_threads, lane=LANE
+            )
+        if res is not None:
+            m, t, widths, tetramer_ids = res
+            return PresenceData(
+                meta=self.meta,
+                m=m,
+                t=t,
+                widths=widths,
+                tetramer_ids=tetramer_ids,
+            )
+
         def read_protein(prot: str) -> tuple[np.ndarray, list[np.ndarray]]:
             conn = _connect(self.path)
             try:

@@ -16,7 +16,10 @@ import subprocess
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(__file__), "pfaai_native.cpp")
+_SRCS = [
+    os.path.join(os.path.dirname(__file__), "pfaai_native.cpp"),
+    os.path.join(os.path.dirname(__file__), "pfaai_sqlite.cpp"),
+]
 _LIB = None
 _TRIED = False
 
@@ -25,8 +28,11 @@ def _build_and_load() -> ctypes.CDLL | None:
     if os.environ.get("PARFASTAAI_NO_NATIVE"):
         return None
     try:
-        with open(_SRC, "rb") as fp:
-            tag = hashlib.sha256(fp.read()).hexdigest()[:16]
+        h = hashlib.sha256()
+        for src in _SRCS:
+            with open(src, "rb") as fp:
+                h.update(fp.read())
+        tag = h.hexdigest()[:16]
     except OSError:
         return None
     cache = os.environ.get(
@@ -41,7 +47,7 @@ def _build_and_load() -> ctypes.CDLL | None:
             subprocess.run(
                 [
                     "g++", "-O3", "-march=native", "-fopenmp", "-shared",
-                    "-fPIC", "-std=c++17", _SRC, "-o", tmp,
+                    "-fPIC", "-std=c++17", *_SRCS, "-o", tmp, "-ldl",
                 ],
                 check=True,
                 capture_output=True,
@@ -85,6 +91,31 @@ def _build_and_load() -> ctypes.CDLL | None:
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.sqlite_available.restype = ctypes.c_int32
+    lib.etl_widths.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_char),
+        ctypes.c_int64,
+    ]
+    lib.etl_widths.restype = ctypes.c_int32
+    lib.etl_load.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_char),
+        ctypes.c_int64,
+    ]
+    lib.etl_load.restype = ctypes.c_int32
     return lib
 
 
@@ -220,6 +251,50 @@ def native_format_matrix(mat: np.ndarray, sep: str) -> list[bytes] | None:
             for r in range(len(sub))
         )
     return out
+
+
+def native_load_presence(
+    db_path: str,
+    protein_set: tuple[str, ...],
+    n_genomes: int,
+    n_threads: int | None = None,
+    lane: int = 128,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[np.ndarray]] | None:
+    """Fused native ETL: SQLite -> (m, t, widths, tetramer_ids) in one C++
+    pass (pfaai_sqlite.cpp) — the framework's native data loader, the
+    counterpart of the reference's C++ row streaming (scp_db.hpp:121-262).
+
+    Returns None when the native library or libsqlite3 is unavailable, or on
+    any read error — the caller falls back to the stdlib-sqlite3 ETL, which
+    reproduces the identical tensors (same queries, same C library) and
+    raises the proper PFAAIError for genuinely corrupt databases."""
+    lib = get_lib()
+    if lib is None or not lib.sqlite_available():
+        return None
+    P = len(protein_set)
+    G = int(n_genomes)
+    prots = (ctypes.c_char_p * P)(*[p.encode() for p in protein_set])
+    err = ctypes.create_string_buffer(512)
+    widths = np.zeros(P, dtype=np.int32)
+    nt = int(n_threads) if n_threads else 0
+    if lib.etl_widths(
+        db_path.encode(), prots, P, _ptr(widths, ctypes.c_int32), nt,
+        err, len(err),
+    ):
+        return None
+    k = int(widths.max()) if P else lane
+    K = max(lane, ((k + lane - 1) // lane) * lane)
+    m = np.zeros((P, G, K), dtype=np.uint8)
+    tets = np.zeros((P, K), dtype=np.int32)
+    t = np.zeros((P, G), dtype=np.int32)
+    if lib.etl_load(
+        db_path.encode(), prots, P, G, K,
+        _ptr(m, ctypes.c_uint8), _ptr(tets, ctypes.c_int32),
+        _ptr(t, ctypes.c_int32), nt, err, len(err),
+    ):
+        return None
+    tetramer_ids = [tets[p, : widths[p]].copy() for p in range(P)]
+    return m, t, widths, tetramer_ids
 
 
 def native_unpack_presence(

@@ -85,6 +85,71 @@ def test_format_row_byte_identical_to_python():
     assert got == want
 
 
+@pytest.mark.parametrize("which", ["subset1", "subset2"])
+def test_native_etl_matches_python(which, data_dir):
+    """The fused C++ SQLite ETL (pfaai_sqlite.cpp) must produce exactly the
+    tensors the stdlib-sqlite3 path builds — m, t, widths, tetramer_ids all
+    array-equal (same queries through the same C library)."""
+    import os
+
+    import parfastaai_tpu.native as nat
+    from parfastaai_tpu.etl.database import SCPDatabase
+    from parfastaai_tpu.native import native_load_presence
+
+    path = f"{data_dir}/xdb_{which}.db"
+    db = SCPDatabase(path)
+    res = native_load_presence(
+        path, db.meta.protein_set, len(db.meta.genome_set)
+    )
+    assert res is not None, "native ETL unavailable (libsqlite3 missing?)"
+    m, t, widths, tids = res
+
+    os.environ["PARFASTAAI_NO_NATIVE"] = "1"
+    nat._TRIED, nat._LIB = False, None
+    try:
+        pres = db.load_presence()
+    finally:
+        del os.environ["PARFASTAAI_NO_NATIVE"]
+        nat._TRIED, nat._LIB = False, None
+    db.close()
+    np.testing.assert_array_equal(m, pres.m)
+    np.testing.assert_array_equal(t, pres.t)
+    np.testing.assert_array_equal(widths, pres.widths)
+    assert len(tids) == len(pres.tetramer_ids)
+    for a, b in zip(tids, pres.tetramer_ids):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_etl_rejects_corrupt_db(tmp_path):
+    """A genome id outside [0, G) must surface as PFAAIError, not memory
+    corruption: the native loader returns an error, the Python fallback
+    raises the taxonomy error (same behavior as without the native lib)."""
+    import shutil
+    import sqlite3 as sq
+
+    from parfastaai_tpu.etl.database import SCPDatabase
+    from parfastaai_tpu.types import PFAAIError
+
+    src = "/root/reference/data/xdb_subset1.db"
+    bad = tmp_path / "corrupt.db"
+    shutil.copy(src, bad)
+    conn = sq.connect(bad)
+    prot = conn.execute("SELECT DISTINCT SCP_acc FROM scp_data").fetchone()[0]
+    tet = conn.execute(
+        f"SELECT tetramer FROM '{prot}_tetras' LIMIT 1"
+    ).fetchone()[0]
+    conn.execute(
+        f"UPDATE '{prot}_tetras' SET genomes = ? WHERE tetramer = ?",
+        (np.asarray([999999], dtype="<i4").tobytes(), tet),
+    )
+    conn.commit()
+    conn.close()
+    db = SCPDatabase(str(bad))
+    with pytest.raises(PFAAIError):
+        db.load_presence()
+    db.close()
+
+
 def test_engine_uses_native_and_stays_bit_exact(subset1_db, data_dir):
     """End-to-end: with the native finish active, AJI must still equal the
     reference golden bit-for-bit."""
