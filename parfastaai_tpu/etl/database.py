@@ -119,6 +119,100 @@ def _scatter_presence(m_p: np.ndarray, blobs: list[np.ndarray]) -> None:
         m_p[gids, j] = 1
 
 
+def _etl_threads(n_threads: int | None) -> int:
+    """Worker count for the row-streaming ETL; PARFASTAAI_ETL_THREADS mirrors
+    the reference's OMP_NUM_THREADS control (README.md:97-102)."""
+    if n_threads is not None:
+        return n_threads
+    env = os.environ.get("PARFASTAAI_ETL_THREADS")
+    return int(env) if env else max(1, min(8, os.cpu_count() or 1))
+
+
+def _load_db_tensors(
+    path: str,
+    protein_set: tuple[str, ...],
+    n_genomes: int,
+    n_threads: int | None = None,
+    verbose: bool = False,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[np.ndarray]]:
+    """(m, t, widths, tetramer_ids) for one database and one protein list.
+
+    Native C++ one-pass loader (native/pfaai_sqlite.cpp: read + scatter + T
+    fused, OpenMP over proteins — measured 2.25x over the Python path at
+    G=4096) with the stdlib-sqlite3 path as fallback and error-reporting
+    surface: any native failure re-runs in Python, which builds identical
+    tensors (same queries through the same C library) and raises the proper
+    PFAAIError for genuinely corrupt databases."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..native import native_load_presence
+    from ..utils.timing import phase_timer
+
+    n_threads = _etl_threads(n_threads)
+    with phase_timer("  Native ETL       ", enabled=verbose):
+        res = native_load_presence(
+            path, protein_set, n_genomes, n_threads, lane=LANE
+        )
+    if res is not None:
+        return res
+
+    P = len(protein_set)
+
+    def read_protein(prot: str) -> tuple[np.ndarray, list[np.ndarray]]:
+        conn = _connect(path)
+        try:
+            tets: list[int] = []
+            blobs: list[np.ndarray] = []
+            for tet, blob in conn.execute(
+                f"SELECT tetramer, genomes FROM '{prot}_tetras' ORDER BY tetramer"
+            ):
+                tets.append(tet)
+                blobs.append(_blob_to_ids(blob))
+            return np.asarray(tets, dtype=np.int32), blobs
+        except (sqlite3.Error, ValueError) as e:
+            # Missing '{SCP}_tetras' table, malformed blob length, etc.
+            raise PFAAIError(
+                ErrorCode.SQLITE_DB_ERROR,
+                f"Failed reading protein {prot!r} from {path}: {e}",
+            )
+        finally:
+            conn.close()
+
+    with phase_timer("  Tetras read      ", enabled=verbose):
+        if n_threads > 1:
+            with ThreadPoolExecutor(n_threads) as ex:
+                per_protein = list(ex.map(read_protein, protein_set))
+        else:
+            per_protein = [read_protein(prot) for prot in protein_set]
+    widths = np.asarray([len(t) for t, _ in per_protein], dtype=np.int32)
+
+    with phase_timer("  Presence scatter ", enabled=verbose):
+        K = max(LANE, _round_up(int(widths.max()) if P else LANE, LANE))
+        m = np.zeros((P, n_genomes, K), dtype=np.uint8)
+        tetramer_ids: list[np.ndarray] = []
+        for p, (tet_arr, blobs) in enumerate(per_protein):
+            tetramer_ids.append(tet_arr)
+            _scatter_presence(m[p], blobs)
+
+    with phase_timer("  T matrix         ", enabled=verbose):
+        conn = _connect(path)
+        t = np.zeros((P, n_genomes), dtype=np.int32)
+        try:
+            for p, prot in enumerate(protein_set):
+                for gid, nbytes in conn.execute(
+                    f"SELECT genome_id, length(tetramers) FROM '{prot}_genomes'"
+                ):
+                    t[p, gid] = nbytes // 4
+        except (sqlite3.Error, ValueError) as e:
+            raise PFAAIError(
+                ErrorCode.SQLITE_DB_ERROR,
+                f"Failed reading '_genomes' tables from {path}: {e}",
+            )
+        finally:
+            conn.close()
+    return m, t, widths, tetramer_ids
+
+
 class SCPDatabase:
     """Single FastAAI SQLite database accessor (reference SQLiteSCPDataBase,
     scp_db.hpp:57-263)."""
@@ -165,94 +259,22 @@ class SCPDatabase:
     ) -> PresenceData:
         """Build the compacted presence tensor from the '{SCP}_tetras' tables.
 
-        Proteins are read in parallel (one read-only SQLite connection per
-        worker — SQLite supports concurrent readers, and the C library
-        releases the GIL) — the host-side analogue of the reference's
-        per-thread row streaming (ds_helper.hpp:126-162).
+        Proteins are read in parallel — native C++ one-pass loader when
+        available, threaded stdlib-sqlite3 otherwise (one read-only
+        connection per worker; SQLite supports concurrent readers and the C
+        library releases the GIL) — the host-side analogue of the
+        reference's per-thread row streaming (ds_helper.hpp:126-162).
 
         ``verbose`` prints one timing line per construction step, mirroring
         the reference's per-phase timers (interface.hpp:306-327: Lc/Lp, F,
         T; E has no production equivalent — it never materializes)."""
-        import os
-        from concurrent.futures import ThreadPoolExecutor
-
-        from ..utils.timing import phase_timer
-
-        P = len(self.meta.protein_set)
-        G = len(self.meta.genome_set)
-        if n_threads is None:
-            # PARFASTAAI_ETL_THREADS mirrors the reference's OMP_NUM_THREADS
-            # control of its row-streaming phase (README.md:97-102).
-            env = os.environ.get("PARFASTAAI_ETL_THREADS")
-            n_threads = (
-                int(env) if env else max(1, min(8, os.cpu_count() or 1))
-            )
-
-        # Fused native ETL (C++/OpenMP, pfaai_sqlite.cpp): read + scatter + T
-        # in one pass with no per-row Python objects.  Measured on the bench
-        # host at G=4096: 5.5 s -> ~1.5 s.  Any failure falls through to the
-        # stdlib-sqlite3 path below, which builds identical tensors (same
-        # queries through the same C library; parity pinned by
-        # tests/test_native.py::test_native_etl_matches_python).
-        from ..native import native_load_presence
-
-        with phase_timer("  Native ETL       ", enabled=verbose):
-            res = native_load_presence(
-                self.path, self.meta.protein_set, G, n_threads, lane=LANE
-            )
-        if res is not None:
-            m, t, widths, tetramer_ids = res
-            return PresenceData(
-                meta=self.meta,
-                m=m,
-                t=t,
-                widths=widths,
-                tetramer_ids=tetramer_ids,
-            )
-
-        def read_protein(prot: str) -> tuple[np.ndarray, list[np.ndarray]]:
-            conn = _connect(self.path)
-            try:
-                tets: list[int] = []
-                blobs: list[np.ndarray] = []
-                for tet, blob in conn.execute(
-                    f"SELECT tetramer, genomes FROM '{prot}_tetras' ORDER BY tetramer"
-                ):
-                    tets.append(tet)
-                    blobs.append(_blob_to_ids(blob))
-                return np.asarray(tets, dtype=np.int32), blobs
-            except (sqlite3.Error, ValueError) as e:
-                # Missing '{SCP}_tetras' table, malformed blob length, etc.
-                raise PFAAIError(
-                    ErrorCode.SQLITE_DB_ERROR,
-                    f"Failed reading protein {prot!r} from {self.path}: {e}",
-                )
-            finally:
-                conn.close()
-
-        with phase_timer("  Tetras read      ", enabled=verbose):
-            if n_threads > 1:
-                with ThreadPoolExecutor(n_threads) as ex:
-                    per_protein = list(
-                        ex.map(read_protein, self.meta.protein_set)
-                    )
-            else:
-                per_protein = [
-                    read_protein(prot) for prot in self.meta.protein_set
-                ]
-        widths = np.asarray([len(t) for t, _ in per_protein], dtype=np.int32)
-
-        with phase_timer("  Presence scatter ", enabled=verbose):
-            K = max(LANE, _round_up(int(widths.max()) if P else LANE, LANE))
-            m = np.zeros((P, G, K), dtype=np.uint8)
-            tetramer_ids: list[np.ndarray] = []
-            for p, (tet_arr, blobs) in enumerate(per_protein):
-                tetramer_ids.append(tet_arr)
-                _scatter_presence(m[p], blobs)
-
-        with phase_timer("  T matrix         ", enabled=verbose):
-            t = self.load_t_matrix()
-
+        m, t, widths, tetramer_ids = _load_db_tensors(
+            self.path,
+            self.meta.protein_set,
+            len(self.meta.genome_set),
+            n_threads,
+            verbose,
+        )
         return PresenceData(
             meta=self.meta,
             m=m,
@@ -318,7 +340,9 @@ class QueryTargetDatabase:
                 t[p, nt + gid] = nbytes // 4
         return t
 
-    def load_presence(self, verbose: bool = False) -> PresenceData:
+    def load_presence(
+        self, n_threads: int | None = None, verbose: bool = False
+    ) -> PresenceData:
         """Presence over the union id space and the union of both DBs'
         tetramers per shared protein.
 
@@ -327,50 +351,43 @@ class QueryTargetDatabase:
         query x target intersection counts this is equivalent to taking the
         column union here, because a tetramer present in only one DB
         contributes zero to every query x target product.
+
+        Each database is loaded independently through the fast per-DB path
+        (_load_db_tensors: native C++ loader or threaded Python), then the
+        two compacted column spaces are merged per protein: the union column
+        positions come from one searchsorted per side, and whole (G_side,
+        w_side) slabs are placed with vectorized fancy-index assignment — no
+        per-tetramer Python loop.
         """
         from ..utils.timing import phase_timer
 
-        cur = self.conn.cursor()
         P = len(self.meta.protein_set)
         nt = len(self.meta.genome_set)
         nq = len(self.meta.query_genome_set)
         G = nt + nq
 
-        rows: list[tuple[np.ndarray, dict[int, tuple[np.ndarray, np.ndarray]]]] = []
-        widths = np.zeros(P, dtype=np.int32)
-        with phase_timer("  Tetras read      ", enabled=verbose):
-            for p, prot in enumerate(self.meta.protein_set):
-                tgt = {
-                    tet: _blob_to_ids(blob)
-                    for tet, blob in cur.execute(
-                        f"SELECT tetramer, genomes FROM main.'{prot}_tetras'"
-                    )
-                }
-                qry = {
-                    tet: _blob_to_ids(blob)
-                    for tet, blob in cur.execute(
-                        f"SELECT tetramer, genomes FROM QueryDB.'{prot}_tetras'"
-                    )
-                }
-                tets = np.asarray(sorted(set(tgt) | set(qry)), dtype=np.int32)
-                rows.append((tets, tgt, qry))
-                widths[p] = len(tets)
+        m_t, t_t, w_t, tids_t = _load_db_tensors(
+            self.target_path, self.meta.protein_set, nt, n_threads, verbose
+        )
+        m_q, t_q, w_q, tids_q = _load_db_tensors(
+            self.query_path, self.meta.protein_set, nq, n_threads, verbose
+        )
 
-        with phase_timer("  Presence scatter ", enabled=verbose):
+        with phase_timer("  Column merge     ", enabled=verbose):
+            tetramer_ids = [
+                np.union1d(tids_t[p], tids_q[p]) for p in range(P)
+            ]
+            widths = np.asarray([len(u) for u in tetramer_ids], np.int32)
             K = max(LANE, _round_up(int(widths.max()) if P else LANE, LANE))
             m = np.zeros((P, G, K), dtype=np.uint8)
-            tetramer_ids: list[np.ndarray] = []
-            for p, (tets, tgt, qry) in enumerate(rows):
-                tetramer_ids.append(tets)
-                for j, tet in enumerate(tets):
-                    tet = int(tet)
-                    if tet in tgt:
-                        m[p, tgt[tet], j] = 1
-                    if tet in qry:
-                        m[p, nt + qry[tet], j] = 1
-
-        with phase_timer("  T matrix         ", enabled=verbose):
-            t = self.load_t_matrix()
+            t = np.zeros((P, G), dtype=np.int32)
+            t[:, :nt] = t_t
+            t[:, nt:] = t_q
+            for p, union in enumerate(tetramer_ids):
+                pos_t = np.searchsorted(union, tids_t[p])
+                pos_q = np.searchsorted(union, tids_q[p])
+                m[p, :nt][:, pos_t] = m_t[p][:, : w_t[p]]
+                m[p, nt:][:, pos_q] = m_q[p][:, : w_q[p]]
 
         return PresenceData(
             meta=self.meta,
