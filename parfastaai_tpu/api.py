@@ -145,7 +145,7 @@ def aji(
 
 def aji_to_csv(
     out_path: str,
-    db_path: str | None = None,
+    db_path: str,
     *,
     query_db: str | None = None,
     query_subset: list[str] | None = None,
@@ -164,8 +164,6 @@ def aji_to_csv(
     Adds ``engine="streamed"`` over :func:`aji`: the row-band engine writes
     the CSV incrementally with O(band x G) memory (CLI ``--streamed``),
     including resume-from-partial-file (``resume=True``)."""
-    if db_path is None:
-        raise PFAAIError(ErrorCode.CONSTRUCT_ERROR, "db_path is required")
     if engine == "streamed":
         db, pairs = _open(db_path, query_db, query_subset, compat_qt_t_swap)
         try:

@@ -197,20 +197,9 @@ def _init_backend() -> bool:
 
 
 def _enable_compilation_cache() -> None:
-    """Persist XLA executables across processes; without it every CLI
-    invocation pays full (possibly remote) compilation latency."""
-    import jax
+    from .utils.jitcache import enable_compilation_cache
 
-    cache_dir = os.environ.get(
-        "PARFASTAAI_JIT_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "parfastaai_tpu_jit"),
-    )
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass  # cache is an optimization; never fail the run over it
+    enable_compilation_cache()
 
 
 def run(argv: list[str] | None = None) -> int:

@@ -242,6 +242,104 @@ def _resume_point(out_path: str, header: str, band: int) -> int:
     return rows
 
 
+def _bucket_block_engine(presence: PresenceData, approx: bool, precise: bool):
+    """Single-device banded (S, N) block engine shared by compute_streamed
+    and compute_fast.
+
+    Returns ``block_sn(rids, cids, drids, dcids, nb, nc) -> (s, n)`` device
+    arrays for one (nb x nc) output block, summed over the width buckets.
+
+    The jitted inner program (device-side gather of the band's genome
+    columns + the Pallas rectangular kernel) is kept IDENTICAL between both
+    callers on purpose: on this environment's TPU relay the dominant
+    first-call cost is the relay-side compile/install of each distinct
+    program (measured 32-278 s for (G, G)-shaped square programs, with the
+    client-side persistent cache unable to hide it), while this band-shaped
+    program has measured consistently in the seconds range across fresh
+    processes — sharing one program shape means one lottery ticket, already
+    known good, instead of one per entry point."""
+    import jax
+
+    from .etl.database import bucketize_presence
+    from .ops.fused import fused_sn_block as _xla_block
+
+    buckets = [
+        (upload_presence(m_b), jnp.asarray(t_b))
+        for _, m_b, t_b in bucketize_presence(presence)
+    ]
+
+    from .ops.pallas_intersect import pallas_fused_sn_block
+
+    use_pallas_blk = jax.default_backend() == "tpu"
+
+    @partial(jax.jit, static_argnames=("nb", "nc"))
+    def bucket_sn(md, td, rids, cids, drids, dcids, nb, nc):
+        ma = jnp.take(md, rids, axis=1)
+        mb = jnp.take(md, cids, axis=1)
+        ta = jnp.take(td, drids, axis=1)
+        tb = jnp.take(td, dcids, axis=1)
+        if use_pallas_blk:
+            return pallas_fused_sn_block(
+                ma, mb, ta, tb, approx=approx, precise=precise
+            )
+        return _xla_block(ma, mb, ta, tb)
+
+    def block_sn(rids, cids, drids, dcids, nb, nc):
+        s = n = None
+        for md_b, td_b in buckets:
+            s_b, n_b = bucket_sn(md_b, td_b, rids, cids, drids, dcids, nb, nc)
+            s = s_b if s is None else s + s_b
+            n = n_b if n is None else n + n_b
+        return s, n
+
+    return block_sn, use_pallas_blk
+
+
+def _banded_sn(
+    presence: PresenceData,
+    row_ids: np.ndarray,
+    col_ids: np.ndarray,
+    row_denom_ids: np.ndarray,
+    col_denom_ids: np.ndarray,
+    approx: bool = False,
+    precise: bool = False,
+    band: int = 1024,
+    col_chunk: int = 4096,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full (len(row_ids), len(col_ids)) S/N matrices on host, computed in
+    streamed-shaped device blocks (same program as compute_streamed; see
+    _bucket_block_engine) with async host copies overlapping dispatch."""
+    block_sn, _ = _bucket_block_engine(presence, approx, precise)
+    row_ids = np.asarray(row_ids, np.int32)
+    col_ids = np.asarray(col_ids, np.int32)
+    row_denom_ids = np.asarray(row_denom_ids, np.int32)
+    col_denom_ids = np.asarray(col_denom_ids, np.int32)
+    band = min(band, len(row_ids))
+    col_chunk = min(col_chunk, len(col_ids))
+    pending = []
+    for r0 in range(0, len(row_ids), band):
+        rids = row_ids[r0 : r0 + band]
+        pad_r = band - len(rids)
+        rpad = np.pad(rids, (0, pad_r))
+        drpad = np.pad(row_denom_ids[r0 : r0 + band], (0, pad_r))
+        for c0 in range(0, len(col_ids), col_chunk):
+            cids = col_ids[c0 : c0 + col_chunk]
+            pad_c = col_chunk - len(cids)
+            cpad = np.pad(cids, (0, pad_c))
+            dcpad = np.pad(col_denom_ids[c0 : c0 + col_chunk], (0, pad_c))
+            s_b, n_b = block_sn(rpad, cpad, drpad, dcpad, band, col_chunk)
+            for arr in (s_b, n_b):
+                if hasattr(arr, "copy_to_host_async"):
+                    arr.copy_to_host_async()
+            pending.append((r0, len(rids), c0, len(cids), s_b, n_b))
+    s = np.zeros((len(row_ids), len(col_ids)), dtype=np.float32)
+    n = np.zeros((len(row_ids), len(col_ids)), dtype=np.int32)
+    for r0, nr, c0, nc, s_b, n_b in pending:
+        s[r0 : r0 + nr, c0 : c0 + nc] = np.asarray(s_b)[:nr, :nc]
+        n[r0 : r0 + nr, c0 : c0 + nc] = np.asarray(n_b)[:nr, :nc]
+    return s, n
+
+
 def compute_streamed(
     presence: PresenceData,
     row_ids: np.ndarray,
@@ -359,46 +457,20 @@ def compute_streamed(
 
         md = td = None
     elif mesh is None:
-        from .etl.database import bucketize_presence
-
-        # Width buckets cut padded MXU work ~2.3x on real databases (see
-        # bucketize_presence); each bucket is a separate device tensor and
-        # jit specialization, (S, N) summed across buckets per block.
-        buckets = [
-            (upload_presence(m_b), jnp.asarray(t_b))
-            for _, m_b, t_b in bucketize_presence(presence)
-        ]
-
-        from .ops.pallas_intersect import pallas_fused_sn_block
-
-        # On TPU the Pallas rectangular kernel keeps each (band, col_chunk)
-        # S/N accumulator resident in VMEM across the protein axis; the XLA
-        # scan fallback round-trips it through HBM once per protein.  Wide
-        # presence tensors take the K-blocked kernel automatically
-        # (ops.pallas_intersect K_BLOCK), so there is no K cliff here.
-        use_pallas_blk = jax.default_backend() == "tpu"
+        # Width buckets cut padded MXU work ~2.3x on real databases
+        # (bucketize_presence); on TPU the Pallas rectangular kernel keeps
+        # each (band, col_chunk) S/N accumulator resident in VMEM across the
+        # protein axis (the XLA scan fallback round-trips it through HBM
+        # once per protein).  Wide presence tensors take the K-blocked
+        # kernel automatically (ops.pallas_intersect K_BLOCK) — no K cliff.
+        block_sn, use_pallas_blk = _bucket_block_engine(
+            presence, approx, precise
+        )
         if not use_pallas_blk:
             _reject_approx(f"backend is {jax.default_backend()!r}, not tpu")
 
-        @partial(jax.jit, static_argnames=("nb", "nc"))
-        def bucket_sn(md, td, rids, cids, drids, dcids, nb, nc):
-            ma = jnp.take(md, rids, axis=1)
-            mb = jnp.take(md, cids, axis=1)
-            ta = jnp.take(td, drids, axis=1)
-            tb = jnp.take(td, dcids, axis=1)
-            if use_pallas_blk:
-                return pallas_fused_sn_block(
-                    ma, mb, ta, tb, approx=approx, precise=precise
-                )
-            return fused_sn_block(ma, mb, ta, tb)
-
         def block(_md, _td, rids, cids, drids, dcids, nb, nc):
-            s = n = None
-            for md_b, td_b in buckets:
-                s_b, n_b = bucket_sn(md_b, td_b, rids, cids, drids, dcids, nb, nc)
-                s = s_b if s is None else s + s_b
-                n = n_b if n is None else n + n_b
-            return _mask_aji(s, n)
+            return _mask_aji(*block_sn(rids, cids, drids, dcids, nb, nc))
 
         md = td = None
     else:
@@ -686,64 +758,76 @@ def compute_fast(
     computes only |Q| x |T| cells instead of the (|Q|+|T|)^2 square.
     """
     from .etl.database import bucketize_presence
-    from .ops.pallas_intersect import pallas_fused_aji, pallas_fused_sn_block
 
     G = presence.m.shape[1]
+    pall = (
+        use_pallas
+        if use_pallas is not None
+        else jax.default_backend() == "tpu"
+    )
     if np.array_equal(pairs.denom_a, pairs.db_a) and np.array_equal(
         pairs.denom_b, pairs.db_b
     ):
-        # Width-bucketed execution: real databases' per-protein widths vary
-        # ~10x, so contracting every protein at the global max K wastes ~2/3
-        # of the MXU work; each bucket runs at its own K and the (S, N)
-        # accumulators sum (counts are integers — only f32 S order changes).
-        s_mat = n_mat = None
-        for _, m_b, t_b in bucketize_presence(presence):
-            pall = use_pallas if use_pallas is not None else G >= 256
-            if pall:
-                fn = partial(pallas_fused_aji, approx=approx, precise=precise)
-            else:
-                fn = fused_aji
-            _, s_b, n_b = fn(upload_presence(m_b), jnp.asarray(t_b))
-            s_mat = s_b if s_mat is None else s_mat + s_b
-            n_mat = n_b if n_mat is None else n_mat + n_b
-        if _is_triu_pairs(pairs, G):
-            # All-vs-all: derive the pair indices ON device instead of
-            # uploading two n_pairs-long int32 vectors (67 MB at G=4096 —
-            # more wire bytes than the packed presence tensor itself).
-            s_d, n_d = _gather_triu(s_mat, n_mat)
+        # On TPU: the streamed engine's banded block program (see
+        # _bucket_block_engine for why sharing that exact program matters on
+        # this relay — distinct program shapes pay a 32-278 s first-call
+        # compile/install lottery, the band shape measures consistently
+        # fast), assembled into host (G, G) S/N.  Width-bucketed execution
+        # inside (real databases' per-protein widths vary ~10x; each bucket
+        # contracts at its own K).
+        if pall:
+            ids = np.arange(G, dtype=np.int32)
+            s_mat, n_mat = _banded_sn(
+                presence, ids, ids, ids, ids, approx=approx, precise=precise
+            )
+            s = s_mat[pairs.db_a, pairs.db_b].astype(np.float64)
+            n = n_mat[pairs.db_a, pairs.db_b]
         else:
-            a = jnp.asarray(pairs.db_a)
-            b = jnp.asarray(pairs.db_b)
-            s_d, n_d = s_mat[a, b], n_mat[a, b]
-        # n <= P: download int16 when safe (halves the second transfer).
-        if presence.m.shape[0] < 2**15:
-            n_d = n_d.astype(jnp.int16)
-        s = np.asarray(s_d, dtype=np.float64)
-        n = np.asarray(n_d)
+            s_mat = n_mat = None
+            for _, m_b, t_b in bucketize_presence(presence):
+                _, s_b, n_b = fused_aji(upload_presence(m_b), jnp.asarray(t_b))
+                s_mat = s_b if s_mat is None else s_mat + s_b
+                n_mat = n_b if n_mat is None else n_mat + n_b
+            if _is_triu_pairs(pairs, G):
+                # Derive the pair indices ON device instead of uploading two
+                # n_pairs-long int32 vectors (67 MB at G=4096).
+                s_d, n_d = _gather_triu(s_mat, n_mat)
+            else:
+                a = jnp.asarray(pairs.db_a)
+                b = jnp.asarray(pairs.db_b)
+                s_d, n_d = s_mat[a, b], n_mat[a, b]
+            # n <= P: download int16 when safe (halves the second transfer).
+            if presence.m.shape[0] < 2**15:
+                n_d = n_d.astype(jnp.int16)
+            s = np.asarray(s_d, dtype=np.float64)
+            n = np.asarray(n_d)
     elif _is_rect_pairs(pairs):
         rows, cols = pairs.row_db_ids, pairs.col_db_ids
-        s_mat = n_mat = None
-        for _, m_b, t_b in bucketize_presence(presence):
-            ma = upload_presence(np.ascontiguousarray(m_b[:, rows]))
-            mb = upload_presence(np.ascontiguousarray(m_b[:, cols]))
-            ta = jnp.asarray(t_b[:, pairs.row_denom_ids])
-            tb = jnp.asarray(t_b[:, pairs.col_denom_ids])
-            pall = (
-                use_pallas
-                if use_pallas is not None
-                else jax.default_backend() == "tpu"
+        if pall:
+            s_mat, n_mat = _banded_sn(
+                presence,
+                rows,
+                cols,
+                pairs.row_denom_ids,
+                pairs.col_denom_ids,
+                approx=approx,
+                precise=precise,
             )
-            if pall:
-                s_b, n_b = pallas_fused_sn_block(
-                    ma, mb, ta, tb, approx=approx, precise=precise
-                )
-            else:
+            # Pair slots are row-major rows x cols — a flatten matches.
+            s = s_mat.reshape(-1).astype(np.float64)
+            n = n_mat.reshape(-1)
+        else:
+            s_mat = n_mat = None
+            for _, m_b, t_b in bucketize_presence(presence):
+                ma = upload_presence(np.ascontiguousarray(m_b[:, rows]))
+                mb = upload_presence(np.ascontiguousarray(m_b[:, cols]))
+                ta = jnp.asarray(t_b[:, pairs.row_denom_ids])
+                tb = jnp.asarray(t_b[:, pairs.col_denom_ids])
                 s_b, n_b = fused_sn_block(ma, mb, ta, tb)
-            s_mat = s_b if s_mat is None else s_mat + s_b
-            n_mat = n_b if n_mat is None else n_mat + n_b
-        # Pair slots are row-major rows x cols — a flatten matches exactly.
-        s = np.asarray(s_mat, dtype=np.float64).reshape(-1)
-        n = np.asarray(n_mat).reshape(-1)
+                s_mat = s_b if s_mat is None else s_mat + s_b
+                n_mat = n_b if n_mat is None else n_mat + n_b
+            s = np.asarray(s_mat, dtype=np.float64).reshape(-1)
+            n = np.asarray(n_mat).reshape(-1)
     else:
         counts = np.asarray(
             pair_counts_device(
