@@ -128,6 +128,9 @@ def aji(
     databases, unknown query genomes, or overlapping two-DB genome sets —
     the same error taxonomy (and error codes) as the CLI.
     """
+    from .utils.jitcache import enable_compilation_cache
+
+    enable_compilation_cache()
     db, pairs = _open(db_path, query_db, query_subset, compat_qt_t_swap)
     try:
         presence = db.load_presence()

@@ -308,6 +308,20 @@ def run(argv: list[str] | None = None) -> int:
                     presence, pairs, approx=args.approx, precise=args.precise
                 )
             else:
+                if verbose:
+                    from .engine import _use_host
+
+                    dl_mb = (
+                        pairs.n_pairs * presence.m.shape[0] * 2 / 1e6
+                    )
+                    if not _use_host(presence) and dl_mb > 256:
+                        print(
+                            "NOTE: the exact (bit-parity) path downloads the "
+                            f"full count matrix (~{dl_mb:.0f} MB) from the "
+                            "device; for screening at this scale --streamed "
+                            "or --fast is orders of magnitude faster "
+                            "(~1e-7 relative error)."
+                        )
                 result = compute(presence, pairs)
         if profiler is not None:
             profiler.stop_trace()
