@@ -64,6 +64,41 @@ def test_compute_fast_matches_exact(subset1):
     np.testing.assert_allclose(fast.aji, exact.aji, rtol=1e-6)
 
 
+def test_banded_sn_matches_exact(subset1):
+    """_banded_sn (the TPU fused path's banded block engine, here on the XLA
+    CPU fallback) must reproduce the exact engine's S/N through its banding,
+    padding, and host assembly — including non-divisible band/chunk sizes
+    and distinct denominator columns."""
+    from parfastaai_tpu.engine import _banded_sn
+
+    meta, pres = subset1
+    pairs = all_vs_all(meta)
+    exact = compute(pres, pairs)
+    g = pres.m.shape[1]
+    ids = np.arange(g, dtype=np.int32)
+    s_mat, n_mat = _banded_sn(pres, ids, ids, ids, ids, band=3, col_chunk=3)
+    np.testing.assert_array_equal(n_mat[pairs.db_a, pairs.db_b], exact.n)
+    np.testing.assert_allclose(
+        s_mat[pairs.db_a, pairs.db_b], exact.s, rtol=1e-6
+    )
+    # Rectangular slice with swapped denominator columns: against the exact
+    # finish computed with the same denominators.
+    rows = ids[:2]
+    cols = ids[1:]
+    dr, dc = ids[2:4], ids[:3]
+    s_r, n_r = _banded_sn(pres, rows, cols, dr, dc, band=1, col_chunk=2)
+    mf = pres.m.astype(np.float64)
+    cnt = np.einsum("pik,pjk->pij", mf[:, rows], mf[:, cols])
+    shared = cnt > 0
+    denom = (
+        pres.t[:, dr][:, :, None] + pres.t[:, dc][:, None, :] - cnt
+    )
+    want_s = np.where(shared, cnt / denom, 0.0).sum(0)
+    want_n = shared.sum(0)
+    np.testing.assert_array_equal(n_r, want_n)
+    np.testing.assert_allclose(s_r, want_s, rtol=1e-6)
+
+
 def test_pallas_kernel_interpret_mode():
     """Run the Pallas kernel in interpreter mode on CPU and cross-check
     against the XLA fused path (padding path included: G=12 -> 128)."""
