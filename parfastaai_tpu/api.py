@@ -15,7 +15,7 @@ out or re-parsing CSVs::
     res.pairs                   # per-pair JacResult (genome ids, S, N, AJI)
     res.to_csv("out.csv")       # byte-identical to the CLI's output
 
-    pfa.aji_to_csv("genomes.db", "out.csv", engine="streamed")  # large G
+    pfa.aji_to_csv("out.csv", "genomes.db", engine="streamed")  # large G
 
 Engine selection mirrors the CLI: ``exact`` (default — bit-for-bit f64
 parity with the reference), ``fast`` (fused f32 on device, ~1e-7),

@@ -242,7 +242,12 @@ def _resume_point(out_path: str, header: str, band: int) -> int:
     return rows
 
 
-def _bucket_block_engine(presence: PresenceData, approx: bool, precise: bool):
+def _bucket_block_engine(
+    presence: PresenceData,
+    approx: bool,
+    precise: bool,
+    use_pallas: bool | None = None,
+):
     """Single-device banded (S, N) block engine shared by compute_streamed
     and compute_fast.
 
@@ -257,8 +262,21 @@ def _bucket_block_engine(presence: PresenceData, approx: bool, precise: bool):
     client-side persistent cache unable to hide it), while this band-shaped
     program has measured consistently in the seconds range across fresh
     processes — sharing one program shape means one lottery ticket, already
-    known good, instead of one per entry point."""
+    known good, instead of one per entry point.
+
+    The engine (uploaded buckets + jit wrapper) is cached on the presence
+    object, so repeated library-API calls (api.aji) and mixed
+    compute_fast/compute_streamed use of one PresenceData neither re-upload
+    the presence tensor nor retrace."""
     import jax
+
+    cache = getattr(presence, "_block_engine_cache", None)
+    if cache is None:
+        cache = {}
+        presence._block_engine_cache = cache
+    key = (approx, precise, use_pallas, jax.default_backend())
+    if key in cache:
+        return cache[key]
 
     from .etl.database import bucketize_presence
     from .ops.fused import fused_sn_block as _xla_block
@@ -270,7 +288,11 @@ def _bucket_block_engine(presence: PresenceData, approx: bool, precise: bool):
 
     from .ops.pallas_intersect import pallas_fused_sn_block
 
-    use_pallas_blk = jax.default_backend() == "tpu"
+    use_pallas_blk = (
+        use_pallas
+        if use_pallas is not None
+        else jax.default_backend() == "tpu"
+    )
 
     @partial(jax.jit, static_argnames=("nb", "nc"))
     def bucket_sn(md, td, rids, cids, drids, dcids, nb, nc):
@@ -292,7 +314,8 @@ def _bucket_block_engine(presence: PresenceData, approx: bool, precise: bool):
             n = n_b if n is None else n + n_b
         return s, n
 
-    return block_sn, use_pallas_blk
+    cache[key] = (block_sn, use_pallas_blk)
+    return cache[key]
 
 
 def _banded_sn(
@@ -305,11 +328,12 @@ def _banded_sn(
     precise: bool = False,
     band: int = 1024,
     col_chunk: int = 4096,
+    use_pallas: bool | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Full (len(row_ids), len(col_ids)) S/N matrices on host, computed in
     streamed-shaped device blocks (same program as compute_streamed; see
     _bucket_block_engine) with async host copies overlapping dispatch."""
-    block_sn, _ = _bucket_block_engine(presence, approx, precise)
+    block_sn, _ = _bucket_block_engine(presence, approx, precise, use_pallas)
     row_ids = np.asarray(row_ids, np.int32)
     col_ids = np.asarray(col_ids, np.int32)
     row_denom_ids = np.asarray(row_denom_ids, np.int32)
@@ -778,7 +802,8 @@ def compute_fast(
         if pall:
             ids = np.arange(G, dtype=np.int32)
             s_mat, n_mat = _banded_sn(
-                presence, ids, ids, ids, ids, approx=approx, precise=precise
+                presence, ids, ids, ids, ids, approx=approx,
+                precise=precise, use_pallas=use_pallas,
             )
             s = s_mat[pairs.db_a, pairs.db_b].astype(np.float64)
             n = n_mat[pairs.db_a, pairs.db_b]
@@ -812,6 +837,7 @@ def compute_fast(
                 pairs.col_denom_ids,
                 approx=approx,
                 precise=precise,
+                use_pallas=use_pallas,
             )
             # Pair slots are row-major rows x cols — a flatten matches.
             s = s_mat.reshape(-1).astype(np.float64)

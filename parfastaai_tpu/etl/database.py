@@ -119,6 +119,24 @@ def _scatter_presence(m_p: np.ndarray, blobs: list[np.ndarray]) -> None:
         m_p[gids, j] = 1
 
 
+def _read_t_matrix(
+    cur,
+    protein_set: tuple[str, ...],
+    t_out: np.ndarray,
+    qualifier: str = "",
+    col_offset: int = 0,
+) -> None:
+    """Fill T rows from '{SCP}_genomes' blob lengths (reference
+    scp_db.hpp:219-262: blob bytes / 4) — the single Python implementation
+    behind every accessor (the native loader is its C++ twin, parity pinned
+    by tests/test_native.py)."""
+    for p, prot in enumerate(protein_set):
+        for gid, nbytes in cur.execute(
+            f"SELECT genome_id, length(tetramers) FROM {qualifier}'{prot}_genomes'"
+        ):
+            t_out[p, col_offset + gid] = nbytes // 4
+
+
 def _etl_threads(n_threads: int | None) -> int:
     """Worker count for the row-streaming ETL; PARFASTAAI_ETL_THREADS mirrors
     the reference's OMP_NUM_THREADS control (README.md:97-102)."""
@@ -198,11 +216,7 @@ def _load_db_tensors(
         conn = _connect(path)
         t = np.zeros((P, n_genomes), dtype=np.int32)
         try:
-            for p, prot in enumerate(protein_set):
-                for gid, nbytes in conn.execute(
-                    f"SELECT genome_id, length(tetramers) FROM '{prot}_genomes'"
-                ):
-                    t[p, gid] = nbytes // 4
+            _read_t_matrix(conn.cursor(), protein_set, t)
         except (sqlite3.Error, ValueError) as e:
             raise PFAAIError(
                 ErrorCode.SQLITE_DB_ERROR,
@@ -247,11 +261,7 @@ class SCPDatabase:
         P = len(self.meta.protein_set)
         G = len(self.meta.genome_set)
         t = np.zeros((P, G), dtype=np.int32)
-        for p, prot in enumerate(self.meta.protein_set):
-            for gid, nbytes in cur.execute(
-                f"SELECT genome_id, length(tetramers) FROM '{prot}_genomes'"
-            ):
-                t[p, gid] = nbytes // 4
+        _read_t_matrix(cur, self.meta.protein_set, t)
         return t
 
     def load_presence(
@@ -329,15 +339,10 @@ class QueryTargetDatabase:
         nt = len(self.meta.genome_set)
         nq = len(self.meta.query_genome_set)
         t = np.zeros((P, nt + nq), dtype=np.int32)
-        for p, prot in enumerate(self.meta.protein_set):
-            for gid, nbytes in cur.execute(
-                f"SELECT genome_id, length(tetramers) FROM main.'{prot}_genomes'"
-            ):
-                t[p, gid] = nbytes // 4
-            for gid, nbytes in cur.execute(
-                f"SELECT genome_id, length(tetramers) FROM QueryDB.'{prot}_genomes'"
-            ):
-                t[p, nt + gid] = nbytes // 4
+        _read_t_matrix(cur, self.meta.protein_set, t, qualifier="main.")
+        _read_t_matrix(
+            cur, self.meta.protein_set, t, qualifier="QueryDB.", col_offset=nt
+        )
         return t
 
     def load_presence(

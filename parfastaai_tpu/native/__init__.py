@@ -108,6 +108,7 @@ def _build_and_load() -> ctypes.CDLL | None:
         ctypes.c_int64,
         ctypes.c_int64,
         ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
@@ -288,7 +289,7 @@ def native_load_presence(
     tets = np.zeros((P, K), dtype=np.int32)
     t = np.zeros((P, G), dtype=np.int32)
     if lib.etl_load(
-        db_path.encode(), prots, P, G, K,
+        db_path.encode(), prots, P, G, K, _ptr(widths, ctypes.c_int32),
         _ptr(m, ctypes.c_uint8), _ptr(tets, ctypes.c_int32),
         _ptr(t, ctypes.c_int32), nt, err, len(err),
     ):

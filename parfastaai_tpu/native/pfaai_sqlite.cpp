@@ -185,11 +185,14 @@ int32_t etl_widths(const char* db_path, const char* const* prots, int64_t P,
 // m[p*G*K + gid*K + j] = 1 for every genome id in the blob — then fill
 // T[p, g] from '{prot}_genomes' blob lengths.  m must be zeroed, tets may
 // hold anything (unused tail columns are left untouched), t must be zeroed.
-// Genome ids and row counts are bounds-checked: a corrupt database returns
-// 1 with a message instead of corrupting memory.
+// Genome ids and row counts are bounds-checked, and each protein's row
+// count must equal widths[p] (the etl_widths result the caller sized the
+// tensors with) — a database mutated between the two scans, or a corrupt
+// one, returns 1 with a message instead of silently wrong tensors.
 int32_t etl_load(const char* db_path, const char* const* prots, int64_t P,
-                 int64_t G, int64_t K, uint8_t* m, int32_t* tets, int32_t* t,
-                 int64_t nthreads, char* errbuf, int64_t errlen) {
+                 int64_t G, int64_t K, const int32_t* widths, uint8_t* m,
+                 int32_t* tets, int32_t* t, int64_t nthreads, char* errbuf,
+                 int64_t errlen) {
   ErrSink err{errbuf, errlen};
   if (!api().ok) {
     err.set("libsqlite3 unavailable");
@@ -221,7 +224,7 @@ int32_t etl_load(const char* db_path, const char* const* prots, int64_t P,
         int64_t j = 0;
         int rc;
         while ((rc = api().step(st)) == kSqliteRow) {
-          if (j >= K) {
+          if (j >= widths[p]) {
             err.set("etl_load: more '_tetras' rows than etl_widths counted");
             break;
           }
@@ -248,6 +251,9 @@ int32_t etl_load(const char* db_path, const char* const* prots, int64_t P,
           ++j;
         }
         if (rc != kSqliteDone && !err.failed()) err.set(api().errmsg(db));
+        if (!err.failed() && j != widths[p]) {
+          err.set("etl_load: fewer '_tetras' rows than etl_widths counted");
+        }
         api().finalize(st);
         if (err.failed()) continue;
       }
