@@ -311,8 +311,12 @@ def run(argv: list[str] | None = None) -> int:
                 if verbose:
                     from .engine import _use_host
 
+                    # Mirror compute()'s count dtype: int16 only when every
+                    # count fits, int32 otherwise (ADVICE r2 — the fixed 2
+                    # bytes understated the advisory 2x on large databases).
+                    bytes_per = 2 if int(presence.t.max()) < 2**15 else 4
                     dl_mb = (
-                        pairs.n_pairs * presence.m.shape[0] * 2 / 1e6
+                        pairs.n_pairs * presence.m.shape[0] * bytes_per / 1e6
                     )
                     if not _use_host(presence) and dl_mb > 256:
                         print(

@@ -72,7 +72,11 @@ def jaccard_finish(
 # Below this many MACs (P * G^2 * K) the whole problem is host-trivial and a
 # device round-trip costs far more than it saves (this environment's TPU relay
 # adds seconds-to-minutes of dispatch latency on cold shapes).
-# PARFASTAAI_FORCE_DEVICE=1 disables the host fallbacks.
+# PARFASTAAI_FORCE_DEVICE=1 disables the host fallbacks;
+# PARFASTAAI_HOST_WORK_LIMIT=<MACs> tunes the crossover for hosts whose BLAS /
+# relay latency differ from the bench host (the default was calibrated there:
+# 4e9 MACs ~ 2 s of 2-vCPU f64 BLAS vs a 20-25 ms dispatch plus cold-shape
+# compile lottery on the relay).
 HOST_WORK_LIMIT = int(4e9)
 
 
@@ -81,8 +85,11 @@ def _use_host(presence: PresenceData) -> bool:
 
     if os.environ.get("PARFASTAAI_FORCE_DEVICE"):
         return False
+    limit = int(
+        float(os.environ.get("PARFASTAAI_HOST_WORK_LIMIT", HOST_WORK_LIMIT))
+    )
     P, G, K = presence.m.shape
-    return P * G * G * K <= HOST_WORK_LIMIT
+    return P * G * G * K <= limit
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -274,7 +281,15 @@ def _bucket_block_engine(
     if cache is None:
         cache = {}
         presence._block_engine_cache = cache
-    key = (approx, precise, use_pallas, jax.default_backend())
+    # Resolve use_pallas BEFORE forming the cache key: use_pallas=None and an
+    # explicit use_pallas=True on TPU are the same engine, and two cache
+    # entries would each re-upload every presence bucket (ADVICE r2).
+    use_pallas_blk = (
+        use_pallas
+        if use_pallas is not None
+        else jax.default_backend() == "tpu"
+    )
+    key = (approx, precise, use_pallas_blk, jax.default_backend())
     if key in cache:
         return cache[key]
 
@@ -287,12 +302,6 @@ def _bucket_block_engine(
     ]
 
     from .ops.pallas_intersect import pallas_fused_sn_block
-
-    use_pallas_blk = (
-        use_pallas
-        if use_pallas is not None
-        else jax.default_backend() == "tpu"
-    )
 
     @partial(jax.jit, static_argnames=("nb", "nc"))
     def bucket_sn(md, td, rids, cids, drids, dcids, nb, nc):
@@ -332,15 +341,31 @@ def _banded_sn(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Full (len(row_ids), len(col_ids)) S/N matrices on host, computed in
     streamed-shaped device blocks (same program as compute_streamed; see
-    _bucket_block_engine) with async host copies overlapping dispatch."""
-    block_sn, _ = _bucket_block_engine(presence, approx, precise, use_pallas)
+    _bucket_block_engine) with async host copies overlapping dispatch.
+
+    Device result blocks are drained into the host arrays a fixed depth
+    behind dispatch (depth 2 keeps the async-copy overlap), so device
+    residency stays O(depth * band * col_chunk) instead of growing with the
+    whole result matrix (ADVICE r2: at G=16384 an unbounded pending list held
+    ~2 GB of HBM on top of the presence buckets)."""
     row_ids = np.asarray(row_ids, np.int32)
     col_ids = np.asarray(col_ids, np.int32)
+    s = np.zeros((len(row_ids), len(col_ids)), dtype=np.float32)
+    n = np.zeros((len(row_ids), len(col_ids)), dtype=np.int32)
+    if len(row_ids) == 0 or len(col_ids) == 0:
+        return s, n
+    block_sn, _ = _bucket_block_engine(presence, approx, precise, use_pallas)
     row_denom_ids = np.asarray(row_denom_ids, np.int32)
     col_denom_ids = np.asarray(col_denom_ids, np.int32)
     band = min(band, len(row_ids))
     col_chunk = min(col_chunk, len(col_ids))
-    pending = []
+    pending: list[tuple] = []
+
+    def drain_one() -> None:
+        r0, nr, c0, nc, s_b, n_b = pending.pop(0)
+        s[r0 : r0 + nr, c0 : c0 + nc] = np.asarray(s_b)[:nr, :nc]
+        n[r0 : r0 + nr, c0 : c0 + nc] = np.asarray(n_b)[:nr, :nc]
+
     for r0 in range(0, len(row_ids), band):
         rids = row_ids[r0 : r0 + band]
         pad_r = band - len(rids)
@@ -356,11 +381,10 @@ def _banded_sn(
                 if hasattr(arr, "copy_to_host_async"):
                     arr.copy_to_host_async()
             pending.append((r0, len(rids), c0, len(cids), s_b, n_b))
-    s = np.zeros((len(row_ids), len(col_ids)), dtype=np.float32)
-    n = np.zeros((len(row_ids), len(col_ids)), dtype=np.int32)
-    for r0, nr, c0, nc, s_b, n_b in pending:
-        s[r0 : r0 + nr, c0 : c0 + nc] = np.asarray(s_b)[:nr, :nc]
-        n[r0 : r0 + nr, c0 : c0 + nc] = np.asarray(n_b)[:nr, :nc]
+            while len(pending) > 2:
+                drain_one()
+    while pending:
+        drain_one()
     return s, n
 
 
@@ -445,8 +469,10 @@ def compute_streamed(
         if col_denom_ids is None
         else np.asarray(col_denom_ids, dtype=np.int32)
     )
-    band = min(band, len(row_ids))
-    col_chunk = min(col_chunk, len(col_ids))
+    # Clamp to >= 1 so empty axes degrade to a header-only CSV instead of a
+    # zero-step range() error (ADVICE r2).
+    band = max(1, min(band, len(row_ids)))
+    col_chunk = max(1, min(col_chunk, len(col_ids)))
 
     if _use_host(presence):
         _reject_approx(
@@ -487,11 +513,13 @@ def compute_streamed(
         # protein axis (the XLA scan fallback round-trips it through HBM
         # once per protein).  Wide presence tensors take the K-blocked
         # kernel automatically (ops.pallas_intersect K_BLOCK) — no K cliff.
+        # Reject --approx BEFORE building the engine (which uploads every
+        # presence bucket) so a doomed run fails without device traffic.
+        if jax.default_backend() != "tpu":
+            _reject_approx(f"backend is {jax.default_backend()!r}, not tpu")
         block_sn, use_pallas_blk = _bucket_block_engine(
             presence, approx, precise
         )
-        if not use_pallas_blk:
-            _reject_approx(f"backend is {jax.default_backend()!r}, not tpu")
 
         def block(_md, _td, rids, cids, drids, dcids, nb, nc):
             return _mask_aji(*block_sn(rids, cids, drids, dcids, nb, nc))
@@ -792,6 +820,29 @@ def compute_fast(
     if np.array_equal(pairs.denom_a, pairs.db_a) and np.array_equal(
         pairs.denom_b, pairs.db_b
     ):
+        # Query-subset pair spaces are rectangular-reducible: every pair's A
+        # side is a query genome, so the |Q| x G rectangle covers both slot
+        # parts (Q x T' block and Q x Q triangle) — G/|Q| times less MXU work
+        # and transfer than the G x G square (ADVICE r2 / VERDICT r2 item 5;
+        # reference layout ds_impl.hpp:251-263).
+        rows = np.asarray(pairs.row_db_ids, np.int32)
+        qsub_rect = (
+            0 < len(rows) < G
+            and np.array_equal(
+                pairs.col_db_ids, np.arange(G, dtype=np.int32)
+            )
+            and bool(np.isin(pairs.db_a, rows).all())
+        )
+        if qsub_rect:
+            qidx_of = np.full(G, -1, np.int32)
+            qidx_of[rows] = np.arange(len(rows), dtype=np.int32)
+            cols = np.arange(G, dtype=np.int32)
+            s_mat, n_mat = _banded_sn(
+                presence, rows, cols, rows, cols, approx=approx,
+                precise=precise, use_pallas=use_pallas,
+            )
+            s = s_mat[qidx_of[pairs.db_a], pairs.db_b].astype(np.float64)
+            n = n_mat[qidx_of[pairs.db_a], pairs.db_b]
         # On TPU: the streamed engine's banded block program (see
         # _bucket_block_engine for why sharing that exact program matters on
         # this relay — distinct program shapes pay a 32-278 s first-call
@@ -799,7 +850,7 @@ def compute_fast(
         # fast), assembled into host (G, G) S/N.  Width-bucketed execution
         # inside (real databases' per-protein widths vary ~10x; each bucket
         # contracts at its own K).
-        if pall:
+        elif pall:
             ids = np.arange(G, dtype=np.int32)
             s_mat, n_mat = _banded_sn(
                 presence, ids, ids, ids, ids, approx=approx,

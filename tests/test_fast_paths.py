@@ -1,0 +1,127 @@
+"""Routing and robustness of the fast/banded engine paths (VERDICT r2 items
+5 and ADVICE r2): the query-subset rectangle, banded-engine edge cases, and
+block-engine cache identity."""
+
+import numpy as np
+import pytest
+
+import parfastaai_tpu.engine as engine
+from parfastaai_tpu.engine import (
+    _banded_sn,
+    _bucket_block_engine,
+    compute,
+    compute_fast,
+    compute_streamed,
+)
+from parfastaai_tpu.etl.database import SCPDatabase
+from parfastaai_tpu.modes import all_vs_all, query_subset
+
+
+@pytest.fixture(scope="module")
+def combo(combo12_db):
+    db = SCPDatabase(combo12_db)
+    pres = db.load_presence()
+    db.close()
+    return db.meta, pres
+
+
+def test_compute_fast_qsub_routes_rectangle(combo, monkeypatch):
+    """Query-subset --fast must do |Q| x G work, not the G x G square
+    (VERDICT r2 item 5 / ADVICE r2 medium; reference ds_impl.hpp:251-263)."""
+    meta, pres = combo
+    queries = [meta.genome_set[i] for i in (0, 2, 5)]
+    pairs = query_subset(meta, queries)
+    g = len(meta.genome_set)
+
+    shapes = []
+    real = engine._banded_sn
+
+    def spy(presence, row_ids, col_ids, *args, **kwargs):
+        shapes.append((len(row_ids), len(col_ids)))
+        return real(presence, row_ids, col_ids, *args, **kwargs)
+
+    monkeypatch.setattr(engine, "_banded_sn", spy)
+    fast = compute_fast(pres, pairs, use_pallas=False)
+    assert shapes == [(len(queries), g)]  # rectangle, not (g, g)
+
+    exact = compute(pres, pairs)
+    np.testing.assert_allclose(fast.s, exact.s, rtol=1e-5)
+    np.testing.assert_array_equal(fast.n, exact.n)
+    np.testing.assert_array_equal(fast.genome_a, exact.genome_a)
+    np.testing.assert_array_equal(fast.genome_b, exact.genome_b)
+
+
+def test_compute_fast_all_vs_all_not_rerouted(combo, monkeypatch):
+    """All-vs-all keeps its existing square paths (row set == all genomes)."""
+    meta, pres = combo
+    pairs = all_vs_all(meta)
+
+    def boom(*args, **kwargs):  # the XLA fallback must not call _banded_sn
+        raise AssertionError("square all-vs-all must not take the rect path")
+
+    monkeypatch.setattr(engine, "_banded_sn", boom)
+    fast = compute_fast(pres, pairs, use_pallas=False)
+    exact = compute(pres, pairs)
+    np.testing.assert_allclose(fast.s, exact.s, rtol=1e-5)
+
+
+def test_banded_sn_empty_axes(combo):
+    """Empty row/col id lists return zero-shaped matrices, not a range()
+    error (ADVICE r2)."""
+    _, pres = combo
+    ids = np.arange(3, dtype=np.int32)
+    empty = np.empty(0, dtype=np.int32)
+    for rows, cols in ((empty, ids), (ids, empty), (empty, empty)):
+        s, n = _banded_sn(pres, rows, cols, rows, cols, use_pallas=False)
+        assert s.shape == (len(rows), len(cols))
+        assert n.shape == (len(rows), len(cols))
+
+
+def test_banded_sn_bounded_pending_matches(combo):
+    """The depth-bounded drain returns the same matrices as a full-matrix
+    fused computation (ADVICE r2: device residency fix must not change
+    results)."""
+    _, pres = combo
+    g = pres.m.shape[1]
+    ids = np.arange(g, dtype=np.int32)
+    # band/col_chunk of 2 forces many blocks -> the drain loop runs.
+    s, n = _banded_sn(
+        pres, ids, ids, ids, ids, band=2, col_chunk=2, use_pallas=False
+    )
+    s1, n1 = _banded_sn(pres, ids, ids, ids, ids, use_pallas=False)
+    np.testing.assert_allclose(s, s1, rtol=1e-6)
+    np.testing.assert_array_equal(n, n1)
+
+
+def test_block_engine_cache_resolves_use_pallas(combo):
+    """use_pallas=None and the explicitly resolved value share one cache
+    entry — no duplicate presence-bucket uploads (ADVICE r2)."""
+    _, pres = combo
+    auto = _bucket_block_engine(pres, False, False, None)
+    explicit = _bucket_block_engine(pres, False, False, False)  # CPU backend
+    assert auto is explicit
+
+
+def test_streamed_empty_query_axis(combo, tmp_path):
+    """Zero rows degrade to a header-only CSV (ADVICE r2 clamp)."""
+    meta, pres = combo
+    out = tmp_path / "empty.csv"
+    compute_streamed(
+        pres,
+        np.empty(0, np.int32),
+        np.arange(len(meta.genome_set), dtype=np.int32),
+        str(out),
+        (),
+        meta.genome_set,
+    )
+    lines = out.read_text().splitlines()
+    assert lines == ["," + ",".join(meta.genome_set)]
+
+
+def test_host_work_limit_env(combo, monkeypatch):
+    _, pres = combo
+    monkeypatch.delenv("PARFASTAAI_FORCE_DEVICE", raising=False)
+    monkeypatch.setenv("PARFASTAAI_HOST_WORK_LIMIT", "0")
+    assert not engine._use_host(pres)
+    monkeypatch.setenv("PARFASTAAI_HOST_WORK_LIMIT", "1e18")
+    assert engine._use_host(pres)
