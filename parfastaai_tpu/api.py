@@ -32,7 +32,15 @@ import numpy as np
 from .engine import compute, compute_fast, compute_sharded, compute_streamed
 from .etl.database import PresenceData, QueryTargetDatabase, SCPDatabase
 from .io.csv_writer import aji_matrix, write_aji_csv
-from .modes import PairSpace, all_vs_all, query_subset, query_target
+from .modes import (
+    PairSpace,
+    all_vs_all,
+    all_vs_all_axes,
+    query_subset,
+    query_subset_axes,
+    query_target,
+    query_target_axes,
+)
 from .types import ErrorCode, JacResult, PFAAIError
 
 
@@ -58,10 +66,13 @@ def _open(
     query_db: str | None,
     query_subset_names: list[str] | None,
     compat_qt_t_swap: bool,
+    axes_only: bool = False,
 ):
-    """(db, PairSpace) for the mode implied by the arguments — the same
-    dispatch rule as the CLI / reference main.cpp:337-356 (-q wins; -r with
-    the same path degenerates to all-vs-all)."""
+    """(db, PairSpace | StreamAxes) for the mode implied by the arguments —
+    the same dispatch rule as the CLI / reference main.cpp:337-356 (-q wins;
+    -r with the same path degenerates to all-vs-all).  ``axes_only`` builds
+    the O(G) StreamAxes instead of the O(n_pairs) PairSpace — required for
+    the streamed engine's memory contract (modes.StreamAxes)."""
     if query_db and query_subset_names:
         raise PFAAIError(
             ErrorCode.CONSTRUCT_ERROR,
@@ -69,11 +80,13 @@ def _open(
         )
     if query_db and query_db != db_path:
         db = QueryTargetDatabase(db_path, query_db)
-        return db, query_target(db.meta, compat_qt_t_swap=compat_qt_t_swap)
+        fn = query_target_axes if axes_only else query_target
+        return db, fn(db.meta, compat_qt_t_swap=compat_qt_t_swap)
     db = SCPDatabase(db_path)
     if query_subset_names:
-        return db, query_subset(db.meta, list(query_subset_names))
-    return db, all_vs_all(db.meta)
+        fn = query_subset_axes if axes_only else query_subset
+        return db, fn(db.meta, list(query_subset_names))
+    return db, (all_vs_all_axes if axes_only else all_vs_all)(db.meta)
 
 
 def _compute(
@@ -168,7 +181,9 @@ def aji_to_csv(
     the CSV incrementally with O(band x G) memory (CLI ``--streamed``),
     including resume-from-partial-file (``resume=True``)."""
     if engine == "streamed":
-        db, pairs = _open(db_path, query_db, query_subset, compat_qt_t_swap)
+        db, pairs = _open(
+            db_path, query_db, query_subset, compat_qt_t_swap, axes_only=True
+        )
         try:
             presence = db.load_presence()
         finally:

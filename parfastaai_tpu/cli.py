@@ -18,7 +18,14 @@ from . import __version__
 from .engine import compute, compute_fast, compute_sharded, compute_streamed
 from .etl.database import QueryTargetDatabase, SCPDatabase
 from .io.csv_writer import write_aji_csv
-from .modes import all_vs_all, query_subset, query_target
+from .modes import (
+    all_vs_all,
+    all_vs_all_axes,
+    query_subset,
+    query_subset_axes,
+    query_target,
+    query_target_axes,
+)
 from .types import ErrorCode, PFAAIError
 from .utils.timing import phase_timer
 
@@ -226,10 +233,14 @@ def run(argv: list[str] | None = None) -> int:
                 "require --fast or --streamed",
             )
         two_db = bool(args.query_db) and args.query_db != args.path_to_input_db
+        # The streamed engine consumes only the CSV axes; building the full
+        # per-pair PairSpace would cost O(G^2) host memory — fatal at exactly
+        # the genome counts --streamed exists for (modes.StreamAxes).
         if two_db:
             with phase_timer("DB open + metadata ", enabled=verbose):
                 db = QueryTargetDatabase(args.path_to_input_db, args.query_db)
-                pairs = query_target(
+                mode_fn = query_target_axes if args.streamed else query_target
+                pairs = mode_fn(
                     db.meta, compat_qt_t_swap=not args.no_compat_qt_t_swap
                 )
         else:
@@ -237,7 +248,10 @@ def run(argv: list[str] | None = None) -> int:
                 db = SCPDatabase(args.path_to_input_db)
             if args.query_subset:
                 queries = load_query_genomes(args.query_subset)
-                pairs = query_subset(db.meta, queries)
+                mode_fn = query_subset_axes if args.streamed else query_subset
+                pairs = mode_fn(db.meta, queries)
+            elif args.streamed:
+                pairs = all_vs_all_axes(db.meta)
             else:
                 pairs = all_vs_all(db.meta)
 

@@ -77,6 +77,27 @@ class PairSpace:
         return int(self.db_a.shape[0])
 
 
+@dataclass(frozen=True)
+class StreamAxes:
+    """CSV axes + per-axis denominator columns ONLY — everything the
+    streaming engine (engine.compute_streamed) consumes, in O(rows + cols)
+    memory.
+
+    The streamed path exists for genome counts where O(G^2) anything is
+    fatal (engine.compute_streamed docstring: G ~ 1e5), so its mode
+    constructors must not materialize the per-pair PairSpace columns: at
+    G=16384 those are ~5.4 GB of host int32; at G=1e5, ~500 GB.  Validation
+    (unknown/duplicate query genomes, overlapping QT genome sets) is shared
+    with the PairSpace constructors, so error behavior is identical."""
+
+    query_names: tuple[str, ...]  # CSV row labels, in row order
+    target_names: tuple[str, ...]  # CSV column labels, in column order
+    row_db_ids: np.ndarray  # int32 — presence index of each CSV row
+    col_db_ids: np.ndarray  # int32 — presence index of each CSV column
+    row_denom_ids: np.ndarray  # int32 — denominator T column per row
+    col_denom_ids: np.ndarray  # int32 — denominator T column per column
+
+
 def all_vs_all(meta: DBMetaData) -> PairSpace:
     """All-vs-all over one DB: upper-triangle pairs (a < b), row-major slot
     order ``idx(a,b) = G*a + b - (a+2)(a+1)/2`` (reference ds_impl.hpp:83-114).
@@ -96,6 +117,91 @@ def all_vs_all(meta: DBMetaData) -> PairSpace:
     )
 
 
+def all_vs_all_axes(meta: DBMetaData) -> StreamAxes:
+    """O(G) axes for streamed all-vs-all (same CSV layout as all_vs_all)."""
+    ids = np.arange(len(meta.genome_set), dtype=np.int32)
+    return StreamAxes(
+        query_names=meta.genome_set, target_names=meta.genome_set,
+        row_db_ids=ids, col_db_ids=ids,
+        row_denom_ids=ids, col_denom_ids=ids,
+    )
+
+
+def _validate_query_lookup(
+    meta: DBMetaData, query_names: list[str]
+) -> np.ndarray:
+    """Query-name validation shared by query_subset / query_subset_axes:
+    every name must exist (reference validate_subset, src/main.cpp:204-232)
+    and be unique (documented divergence, PARITY.md).  Returns the DB genome
+    id of each query in file order."""
+    name_to_id = {n: i for i, n in enumerate(meta.genome_set)}
+    missing = [q for q in query_names if q not in name_to_id]
+    if missing:
+        raise PFAAIError(
+            ErrorCode.CONSTRUCT_ERROR,
+            "Query genome(s) not present in the database: " + ", ".join(missing),
+        )
+    if len(set(query_names)) != len(query_names):
+        raise PFAAIError(
+            ErrorCode.CONSTRUCT_ERROR, "Duplicate genome names in query list"
+        )
+    return np.asarray([name_to_id[q] for q in query_names], dtype=np.int32)
+
+
+def query_subset_axes(
+    meta: DBMetaData, query_names: list[str]
+) -> StreamAxes:
+    """O(Q + G) axes for streamed query-subset (same CSV layout as
+    query_subset: rows = queries in file order, columns = all DB genomes)."""
+    qry_lookup = _validate_query_lookup(meta, query_names)
+    g = len(meta.genome_set)
+    all_ids = np.arange(g, dtype=np.int32)
+    return StreamAxes(
+        query_names=tuple(query_names), target_names=meta.genome_set,
+        row_db_ids=qry_lookup, col_db_ids=all_ids,
+        row_denom_ids=qry_lookup, col_denom_ids=all_ids,
+    )
+
+
+def _validate_query_target(meta: DBMetaData) -> tuple[int, int]:
+    """Two-DB validation shared by query_target / query_target_axes
+    (reference validate_qry2tgt, src/main.cpp:268-300).  Returns (|T|, |Q|)."""
+    nt = len(meta.genome_set)
+    nq = len(meta.query_genome_set)
+    if nq == 0:
+        raise PFAAIError(
+            ErrorCode.CONSTRUCT_ERROR, "Two-database mode requires query genomes"
+        )
+    overlap = set(meta.genome_set) & set(meta.query_genome_set)
+    if overlap:
+        raise PFAAIError(
+            ErrorCode.CONSTRUCT_ERROR,
+            "Query and target databases share genomes: "
+            + ", ".join(sorted(overlap)),
+        )
+    return nt, nq
+
+
+def query_target_axes(
+    meta: DBMetaData, compat_qt_t_swap: bool = True
+) -> StreamAxes:
+    """O(Q + T) axes for streamed two-database mode (same CSV layout and
+    denominator convention — including the compat T-swap — as query_target)."""
+    nt, nq = _validate_query_target(meta)
+    row_db = nt + np.arange(nq, dtype=np.int32)
+    col_db = np.arange(nt, dtype=np.int32)
+    if compat_qt_t_swap:
+        row_denom = np.arange(nq, dtype=np.int32)
+        col_denom = nq + np.arange(nt, dtype=np.int32)
+    else:
+        row_denom, col_denom = row_db, col_db
+    return StreamAxes(
+        query_names=meta.query_genome_set, target_names=meta.genome_set,
+        row_db_ids=row_db, col_db_ids=col_db,
+        row_denom_ids=row_denom, col_denom_ids=col_denom,
+    )
+
+
 def query_subset(meta: DBMetaData, query_names: list[str]) -> PairSpace:
     """Query-subset mode: query genomes are a subset of the DB's genomes
     (reference ParFAAIQSubData, ds_impl.hpp:158-337).
@@ -107,21 +213,8 @@ def query_subset(meta: DBMetaData, query_names: list[str]) -> PairSpace:
     file order, columns are *all* DB genomes; query-query cells are mirrored
     (main.cpp:150-153 with isSubset=true).
     """
-    name_to_id = {n: i for i, n in enumerate(meta.genome_set)}
-    missing = [q for q in query_names if q not in name_to_id]
-    if missing:
-        # Mirrors validate_subset (reference src/main.cpp:204-232).
-        raise PFAAIError(
-            ErrorCode.CONSTRUCT_ERROR,
-            "Query genome(s) not present in the database: " + ", ".join(missing),
-        )
-    if len(set(query_names)) != len(query_names):
-        raise PFAAIError(
-            ErrorCode.CONSTRUCT_ERROR, "Duplicate genome names in query list"
-        )
-
     g = len(meta.genome_set)
-    qry_lookup = np.asarray([name_to_id[q] for q in query_names], dtype=np.int32)
+    qry_lookup = _validate_query_lookup(meta, query_names)
     is_query = np.zeros(g, dtype=bool)
     is_query[qry_lookup] = True
     tgt_lookup = np.flatnonzero(~is_query).astype(np.int32)  # DB order
@@ -168,21 +261,7 @@ def query_target(meta: DBMetaData, compat_qt_t_swap: bool = True) -> PairSpace:
     labels, replicating the reference's swapped-column read (module
     docstring); with it disabled the semantically correct DB ids are used.
     """
-    nt = len(meta.genome_set)
-    nq = len(meta.query_genome_set)
-    if nq == 0:
-        raise PFAAIError(
-            ErrorCode.CONSTRUCT_ERROR, "Two-database mode requires query genomes"
-        )
-    overlap = set(meta.genome_set) & set(meta.query_genome_set)
-    if overlap:
-        # Mirrors validate_qry2tgt (reference src/main.cpp:268-300).
-        raise PFAAIError(
-            ErrorCode.CONSTRUCT_ERROR,
-            "Query and target databases share genomes: "
-            + ", ".join(sorted(overlap)),
-        )
-
+    nt, nq = _validate_query_target(meta)
     qi = np.repeat(np.arange(nq, dtype=np.int32), nt)
     ti = np.tile(np.arange(nt, dtype=np.int32), nq)
     db_a = nt + qi
