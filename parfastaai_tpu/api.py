@@ -29,7 +29,13 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .engine import compute, compute_fast, compute_sharded, compute_streamed
+from .engine import (
+    compute,
+    compute_fast,
+    compute_sharded,
+    compute_streamed,
+    compute_streamed_exact,
+)
 from .etl.database import PresenceData, QueryTargetDatabase, SCPDatabase
 from .io.csv_writer import aji_matrix, write_aji_csv
 from .modes import (
@@ -177,9 +183,35 @@ def aji_to_csv(
 ) -> None:
     """Compute AJI and write the reference-format CSV in one call.
 
-    Adds ``engine="streamed"`` over :func:`aji`: the row-band engine writes
-    the CSV incrementally with O(band x G) memory (CLI ``--streamed``),
-    including resume-from-partial-file (``resume=True``)."""
+    Adds two engines over :func:`aji`: ``"streamed"`` — the f32 row-band
+    engine writes the CSV incrementally with O(band x G) memory (CLI
+    ``--streamed``) — and ``"streamed-exact"`` — the banded f64 engine (CLI
+    ``--streamed --exact``), byte-identical to ``engine="exact"`` output at
+    any genome count.  Both support resume-from-partial-file
+    (``resume=True``)."""
+    if engine == "streamed-exact":
+        db, pairs = _open(
+            db_path, query_db, query_subset, compat_qt_t_swap, axes_only=True
+        )
+        try:
+            presence = db.load_presence()
+        finally:
+            db.close()
+        compute_streamed_exact(
+            presence,
+            pairs.row_db_ids,
+            pairs.col_db_ids,
+            out_path,
+            pairs.query_names,
+            pairs.target_names,
+            separator=separator,
+            band=min(band, 512),
+            col_chunk=min(col_chunk, 2048),
+            resume=resume,
+            row_denom_ids=pairs.row_denom_ids,
+            col_denom_ids=pairs.col_denom_ids,
+        )
+        return
     if engine == "streamed":
         db, pairs = _open(
             db_path, query_db, query_subset, compat_qt_t_swap, axes_only=True

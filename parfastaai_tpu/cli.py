@@ -15,7 +15,13 @@ import os
 import sys
 
 from . import __version__
-from .engine import compute, compute_fast, compute_sharded, compute_streamed
+from .engine import (
+    compute,
+    compute_fast,
+    compute_sharded,
+    compute_streamed,
+    compute_streamed_exact,
+)
 from .etl.database import QueryTargetDatabase, SCPDatabase
 from .io.csv_writer import write_aji_csv
 from .modes import (
@@ -97,6 +103,17 @@ def build_parser() -> argparse.ArgumentParser:
             "Streaming row-band engine: write the CSV incrementally with "
             "O(band x G) memory (f32 device pipeline; for genome counts "
             "where the full pair list / result matrix does not fit)"
+        ),
+    )
+    p.add_argument(
+        "--exact",
+        action="store_true",
+        help=(
+            "With --streamed: banded EXACT engine — bit-parity f64 AJI "
+            "(identical bytes to the default exact path's CSV) written in "
+            "row bands with O(band x col-chunk) memory at any genome count; "
+            "integer counts ship per block instead of the full (P, n_pairs) "
+            "matrix"
         ),
     )
     p.add_argument(
@@ -223,6 +240,18 @@ def run(argv: list[str] | None = None) -> int:
     if verbose:
         _print_args_box(args)
     try:
+        if args.exact and not args.streamed:
+            raise PFAAIError(
+                ErrorCode.CONSTRUCT_ERROR,
+                "--exact selects the banded exact engine and requires "
+                "--streamed (the default path is already exact)",
+            )
+        if args.exact and (args.approx or args.precise or args.mesh):
+            raise PFAAIError(
+                ErrorCode.CONSTRUCT_ERROR,
+                "--exact is f64 single-device by definition; it cannot "
+                "combine with --approx/--precise/--mesh",
+            )
         if (args.approx or args.precise) and not (args.fast or args.streamed):
             # The divide selectors act on the fused Pallas kernel only; the
             # exact path (and --mesh's XLA-scan path) always uses the IEEE
@@ -286,6 +315,31 @@ def run(argv: list[str] | None = None) -> int:
                 mesh = make_mesh(
                     parts[0], parts[1] if len(parts) > 1 else 1
                 )
+            if args.exact:
+                with phase_timer("Banded exact + CSV ", enabled=verbose):
+                    compute_streamed_exact(
+                        presence,
+                        pairs.row_db_ids,
+                        pairs.col_db_ids,
+                        args.path_to_output_file,
+                        pairs.query_names,
+                        pairs.target_names,
+                        separator=args.separator,
+                        band=min(args.band, 512),
+                        col_chunk=min(args.col_chunk, 2048),
+                        resume=args.resume,
+                        row_denom_ids=pairs.row_denom_ids,
+                        col_denom_ids=pairs.col_denom_ids,
+                    )
+                if profiler is not None:
+                    profiler.stop_trace()
+                if verbose:
+                    print(
+                        f"Wrote {len(pairs.query_names)} x "
+                        f"{len(pairs.target_names)} AJI matrix to "
+                        f"{args.path_to_output_file} (banded exact)"
+                    )
+                return 0
             with phase_timer("Streamed AJI + CSV ", enabled=verbose):
                 compute_streamed(
                     presence,

@@ -68,6 +68,17 @@ def _build_and_load() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.jaccard_finish_block_f64.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.unpack_presence.argtypes = [
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int64),
@@ -155,6 +166,38 @@ def native_jaccard_finish(
         _ptr(tb, ctypes.c_int32),
         P,
         n,
+        _ptr(s, ctypes.c_double),
+        _ptr(nsh, ctypes.c_int32),
+    )
+    return s, nsh
+
+
+def native_jaccard_finish_block(
+    counts: np.ndarray, ta: np.ndarray, tb: np.ndarray
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Banded-block (S, N) finish: counts (P, A, B) int16/int32 with the
+    denominator T columns factored per axis (ta (P, A), tb (P, B)); None when
+    the library is unavailable.  Bit-for-bit identical to the per-pair finish
+    (same ascending-protein f64 accumulation)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    P, A, B = counts.shape
+    if counts.dtype not in (np.int16, np.int32):
+        counts = counts.astype(np.int32)
+    counts = np.ascontiguousarray(counts)
+    ta = np.ascontiguousarray(ta, dtype=np.int32)
+    tb = np.ascontiguousarray(tb, dtype=np.int32)
+    s = np.empty((A, B), dtype=np.float64)
+    nsh = np.empty((A, B), dtype=np.int32)
+    lib.jaccard_finish_block_f64(
+        counts.ctypes.data_as(ctypes.c_void_p),
+        counts.dtype.itemsize,
+        _ptr(ta, ctypes.c_int32),
+        _ptr(tb, ctypes.c_int32),
+        P,
+        A,
+        B,
         _ptr(s, ctypes.c_double),
         _ptr(nsh, ctypes.c_int32),
     )

@@ -58,6 +58,42 @@ void jaccard_finish_f64(const int32_t* counts, const int32_t* ta,
   }
 }
 
+// Banded-block variant of jaccard_finish_f64 for the streamed exact engine
+// (engine.compute_streamed_exact): counts is a (P, A, B) block in row-major
+// order with element size 2 (int16) or 4 (int32) — the device ships int16
+// whenever max(T) < 2^15 to halve the transfer — and the denominator T
+// columns arrive factored per axis (ta: (P, A), tb: (P, B)) so no (P, A*B)
+// gather is ever materialized.  Identical f64 semantics and operation order
+// to jaccard_finish_f64 (ascending protein index per cell,
+// algorithm_impl.hpp:240-271), hence bit-for-bit equal results.
+void jaccard_finish_block_f64(const void* counts, int32_t itemsize,
+                              const int32_t* ta, const int32_t* tb, int64_t P,
+                              int64_t A, int64_t B, double* s,
+                              int32_t* nshared) {
+  const int16_t* c16 = static_cast<const int16_t*>(counts);
+  const int32_t* c32 = static_cast<const int32_t*>(counts);
+#pragma omp parallel for schedule(static) collapse(2)
+  for (int64_t a = 0; a < A; ++a) {
+    for (int64_t b = 0; b < B; ++b) {
+      double acc = 0.0;
+      int32_t cnt_shared = 0;
+      for (int64_t p = 0; p < P; ++p) {
+        const int64_t idx = (p * A + a) * B + b;
+        const int32_t c = itemsize == 2 ? static_cast<int32_t>(c16[idx])
+                                        : c32[idx];
+        if (c > 0) {
+          acc += static_cast<double>(c) /
+                 static_cast<double>(static_cast<int64_t>(ta[p * A + a]) +
+                                     tb[p * B + b] - c);
+          ++cnt_shared;
+        }
+      }
+      s[a * B + b] = acc;
+      nshared[a * B + b] = cnt_shared;
+    }
+  }
+}
+
 // gids: concatenated int32 genome-id blobs of one protein's '_tetras' rows
 // (column-major concatenation: column j owns gids[col_offsets[j] ..
 // col_offsets[j+1])).  Writes m[g * K + j] = 1 for each id g in column j.

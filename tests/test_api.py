@@ -62,3 +62,13 @@ def test_aji_fast_engine_close_to_exact(subset1_db):
     res = pfa.aji(subset1_db)
     fast = pfa.aji(subset1_db, engine="fast")
     np.testing.assert_allclose(fast.matrix, res.matrix, rtol=1e-6, atol=1e-7)
+
+
+def test_aji_to_csv_streamed_exact(subset1_db, data_dir, tmp_path):
+    """engine="streamed-exact" is byte-identical to the reference golden."""
+    import parfastaai_tpu.api as pfa
+
+    out = tmp_path / "se.csv"
+    pfa.aji_to_csv(str(out), subset1_db, engine="streamed-exact", band=2)
+    ref = open(f"{data_dir}/xdb_subset1_aji_matrix_wheader.csv", "rb").read()
+    assert out.read_bytes() == ref

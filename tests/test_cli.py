@@ -182,3 +182,26 @@ def test_streamed_precise_ok_approx_rejected_on_cpu(data_dir, tmp_path, capsys):
     assert run([db, str(bad), "--quiet", "--streamed", "--approx"]) != 0
     err = capsys.readouterr().err
     assert "--approx" in err
+
+
+def test_streamed_exact_cli_byte_identical_to_golden(data_dir, tmp_path):
+    """--streamed --exact must reproduce the reference golden CSV byte for
+    byte (it IS the exact engine, banded; VERDICT r2 item 2)."""
+    out = tmp_path / "exact_banded.csv"
+    rc = run(
+        [f"{data_dir}/xdb_subset1.db", str(out), "--quiet", "--streamed",
+         "--exact", "--band", "2", "--col-chunk", "3"]
+    )
+    assert rc == 0
+    ref = open(f"{data_dir}/xdb_subset1_aji_matrix_wheader.csv", "rb").read()
+    assert out.read_bytes() == ref
+
+
+def test_exact_flag_validation(data_dir, tmp_path, capsys):
+    """--exact requires --streamed and excludes the f32 kernel selectors."""
+    db = f"{data_dir}/xdb_subset1.db"
+    out = str(tmp_path / "o.csv")
+    assert run([db, out, "--quiet", "--exact"]) != 0
+    assert run([db, out, "--quiet", "--streamed", "--exact", "--approx"]) != 0
+    assert run([db, out, "--quiet", "--streamed", "--exact", "--mesh", "1"]) != 0
+    capsys.readouterr()
