@@ -1,4 +1,4 @@
-"""Readers for the reference's cereal binary golden archives.
+"""Readers AND writers for the reference's cereal binary golden archives.
 
 The reference serializes its test goldens with cereal's PortableBinary-style
 layout (little-endian, no padding):
@@ -13,8 +13,14 @@ layout (little-endian, no padding):
 * ``DMatrix<T>``      -> uint64 nrows, uint64 ncols, then the data vector
   (reference utils.hpp:285-287).
 
-These readers exist purely for parity testing against the bundled goldens;
-nothing in the production path depends on them.
+The readers exist for parity testing against the bundled goldens; the
+writers pin NEW fixtures (synthetic databases, rebuilt-master artifacts) in
+the reference's own serialization so they can be cross-checked against the
+rebuilt reference binary (interface.hpp:72-74, utils.hpp:285-287 are the
+cereal hooks the reference would load them with).  Each writer is the exact
+byte inverse of its reader (tests/test_goldens_roundtrip.py proves
+read->write reproduces every bundled archive byte-for-byte).  Nothing in
+the production path depends on this module.
 """
 
 from __future__ import annotations
@@ -80,3 +86,68 @@ def read_dmatrix_i32(path: str) -> np.ndarray:
     return np.frombuffer(buf, dtype="<i4", count=count, offset=off).reshape(
         nrows, ncols
     )
+
+
+# --- writers (exact byte inverses of the readers above) ---
+
+
+def write_i32_vector(path: str, values: np.ndarray) -> None:
+    values = np.ascontiguousarray(values, dtype="<i4").reshape(-1)
+    with open(path, "wb") as fp:
+        fp.write(_U64.pack(len(values)))
+        fp.write(values.tobytes())
+
+
+def write_f64_vector(path: str, values: np.ndarray) -> None:
+    values = np.ascontiguousarray(values, dtype="<f8").reshape(-1)
+    with open(path, "wb") as fp:
+        fp.write(_U64.pack(len(values)))
+        fp.write(values.tobytes())
+
+
+def write_pair_vector(path: str, pairs: np.ndarray) -> None:
+    """F-array of DPair(proteinIndex, genomeId) from an int32 (n, 2) array."""
+    pairs = np.ascontiguousarray(pairs, dtype="<i4")
+    assert pairs.ndim == 2 and pairs.shape[1] == 2, pairs.shape
+    with open(path, "wb") as fp:
+        fp.write(_U64.pack(len(pairs)))
+        fp.write(pairs.tobytes())
+
+
+def write_triple_vector(path: str, triples: np.ndarray) -> None:
+    """E-array of ETriple(proteinIndex, genomeA, genomeB) from int32 (n, 3)."""
+    triples = np.ascontiguousarray(triples, dtype="<i4")
+    assert triples.ndim == 2 and triples.shape[1] == 3, triples.shape
+    with open(path, "wb") as fp:
+        fp.write(_U64.pack(len(triples)))
+        fp.write(triples.tobytes())
+
+
+def write_jac_vector(
+    path: str,
+    genome_a: np.ndarray,
+    genome_b: np.ndarray,
+    s: np.ndarray,
+    n: np.ndarray,
+) -> None:
+    """JAC tuples in the reference's packed 20-byte layout; accepts either
+    a structured array (pass as genome_a with the other args None-free via
+    field access at the call site) or four parallel vectors."""
+    rec = np.empty(len(genome_a), dtype=_JAC_DTYPE)
+    rec["genome_a"] = genome_a
+    rec["genome_b"] = genome_b
+    rec["s"] = s
+    rec["n"] = n
+    with open(path, "wb") as fp:
+        fp.write(_U64.pack(len(rec)))
+        fp.write(rec.tobytes())
+
+
+def write_dmatrix_i32(path: str, mat: np.ndarray) -> None:
+    mat = np.ascontiguousarray(mat, dtype="<i4")
+    assert mat.ndim == 2, mat.shape
+    with open(path, "wb") as fp:
+        fp.write(_U64.pack(mat.shape[0]))
+        fp.write(_U64.pack(mat.shape[1]))
+        fp.write(_U64.pack(mat.size))
+        fp.write(mat.tobytes())
