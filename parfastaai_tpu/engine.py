@@ -381,14 +381,12 @@ def _bucket_block_engine(
     if cache is None:
         cache = {}
         presence._block_engine_cache = cache
+    from .ops.pallas_intersect import use_pallas_default
+
     # Resolve use_pallas BEFORE forming the cache key: use_pallas=None and an
     # explicit use_pallas=True on TPU are the same engine, and two cache
     # entries would each re-upload every presence bucket (ADVICE r2).
-    use_pallas_blk = (
-        use_pallas
-        if use_pallas is not None
-        else jax.default_backend() == "tpu"
-    )
+    use_pallas_blk = use_pallas_default(use_pallas)
     key = (approx, precise, use_pallas_blk, jax.default_backend())
     if key in cache:
         return cache[key]
@@ -611,7 +609,9 @@ def compute_streamed(
         # kernel automatically (ops.pallas_intersect K_BLOCK) — no K cliff.
         # Reject --approx BEFORE building the engine (which uploads every
         # presence bucket) so a doomed run fails without device traffic.
-        if jax.default_backend() != "tpu":
+        from .ops.pallas_intersect import use_pallas_default
+
+        if not use_pallas_default():
             _reject_approx(f"backend is {jax.default_backend()!r}, not tpu")
         block_sn, use_pallas_blk = _bucket_block_engine(
             presence, approx, precise
@@ -626,8 +626,17 @@ def compute_streamed(
         from jax.sharding import NamedSharding, PartitionSpec as Spec
 
         from .etl.database import bucketize_presence
+        from .ops.pallas_intersect import pallas_fused_sn_block
+        from .parallel.mesh import use_pallas_on_mesh
 
-        _reject_approx("the mesh branch uses the XLA-scan block kernel")
+        # TPU meshes run the same Pallas rectangular kernel as the
+        # single-device streamed path per device shard (VERDICT r2 item 3:
+        # the XLA-scan fallback's (band, G) carry round-trips HBM once per
+        # protein, measured 1.55x slower single-chip); the scan remains the
+        # CPU/virtual-mesh fallback, where --approx has no kernel to run it.
+        use_pallas_mesh = use_pallas_on_mesh()
+        if not use_pallas_mesh:
+            _reject_approx("the mesh fallback uses the XLA-scan block kernel")
         n_rows = mesh.shape["rows"]
         n_scp = mesh.shape.get("scp", 1)
         band = -(-band // n_rows) * n_rows  # shardable bands
@@ -659,9 +668,14 @@ def compute_streamed(
                 mb = jnp.take(md, cids, axis=1)
                 ta = jnp.take(td, drids_loc, axis=1)
                 tb = jnp.take(td, dcids, axis=1)
-                s, n = fused_sn_block(
-                    ma, mb, ta, tb, vma_axes=("rows", "scp")
-                )
+                if use_pallas_mesh:
+                    s, n = pallas_fused_sn_block(
+                        ma, mb, ta, tb, approx=approx, precise=precise
+                    )
+                else:
+                    s, n = fused_sn_block(
+                        ma, mb, ta, tb, vma_axes=("rows", "scp")
+                    )
                 return jax.lax.psum(s, "scp"), jax.lax.psum(n, "scp")
 
             return shard_map(
@@ -676,6 +690,8 @@ def compute_streamed(
                     Spec(),
                 ),
                 out_specs=(Spec("rows"), Spec("rows")),
+                # Mosaic's output carries no vma type (parallel/mesh.py).
+                check_vma=not use_pallas_mesh,
             )(md, td, rids, cids, drids, dcids)
 
         def block(_md, _td, rids, cids, drids, dcids, nb, nc):
@@ -1010,13 +1026,10 @@ def compute_fast(
     computes only |Q| x |T| cells instead of the (|Q|+|T|)^2 square.
     """
     from .etl.database import bucketize_presence
+    from .ops.pallas_intersect import use_pallas_default
 
     G = presence.m.shape[1]
-    pall = (
-        use_pallas
-        if use_pallas is not None
-        else jax.default_backend() == "tpu"
-    )
+    pall = use_pallas_default(use_pallas)
     if np.array_equal(pairs.denom_a, pairs.db_a) and np.array_equal(
         pairs.denom_b, pairs.db_b
     ):

@@ -39,6 +39,28 @@ MAX_K_SINGLE_BLOCK = 32768
 K_BLOCK = 4096
 
 
+def _interpret_mode() -> bool:
+    """Pallas interpret mode (env PARFASTAAI_PALLAS_INTERPRET=1): evaluates
+    the rectangular kernels as plain XLA ops on any backend.  Exists so the
+    8-virtual-device CPU mesh tests can exercise the SAME
+    pallas-under-shard_map code paths (parallel/mesh.py, engine mesh branch)
+    that Mosaic can only compile on real TPU chips.  Read at call time and
+    threaded as a static jit arg, so flipping the env between calls retraces
+    instead of hitting a stale cache entry."""
+    import os
+
+    return bool(os.environ.get("PARFASTAAI_PALLAS_INTERPRET"))
+
+
+def use_pallas_default(use_pallas: bool | None = None) -> bool:
+    """Resolve a caller's use_pallas=None to the effective kernel choice:
+    Pallas on real TPUs (Mosaic), Pallas-in-interpret-mode when the test env
+    asks for it (_interpret_mode), XLA fallback otherwise."""
+    if use_pallas is not None:
+        return use_pallas
+    return jax.default_backend() == "tpu" or _interpret_mode()
+
+
 def _pack_nibbles(m: jax.Array) -> jax.Array:
     """(…, K) 0/1 int8 -> (…, K/2) int8, two presence columns per byte
     (column 2j in the low nibble, 2j+1 in the high).
@@ -372,11 +394,13 @@ def _pallas_sn_sym_kb(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile", "k_block", "approx", "precise")
+    jax.jit,
+    static_argnames=("tile", "k_block", "approx", "precise", "interpret"),
 )
 def _pallas_sn_rect_kb(
     ma: jax.Array, mb: jax.Array, ta: jax.Array, tb: jax.Array, tile: int,
     k_block: int = K_BLOCK, approx: bool = False, precise: bool = False,
+    interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """K-blocked rectangular fused (S, N) — _pallas_sn_rect for K wider than
     one VMEM block."""
@@ -411,6 +435,7 @@ def _pallas_sn_rect_kb(
             bytes_accessed=P * (A + B) * K + 8 * A * B,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(ma, mb, ta.astype(jnp.float32), tb.astype(jnp.float32))
     return s, n
 
@@ -686,10 +711,12 @@ def _pallas_sn_sym_bands(
     return s, n
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "approx", "precise"))
+@functools.partial(
+    jax.jit, static_argnames=("tile", "approx", "precise", "interpret")
+)
 def _pallas_sn_rect(
     ma: jax.Array, mb: jax.Array, ta: jax.Array, tb: jax.Array, tile: int,
-    approx: bool = False, precise: bool = False,
+    approx: bool = False, precise: bool = False, interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Rectangular fused (S, N): genome band A x genome band B.
 
@@ -724,6 +751,7 @@ def _pallas_sn_rect(
             bytes_accessed=P * (A + B) * K + 8 * A * B,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(
         ma.astype(jnp.int8), mb.astype(jnp.int8),
         ta.astype(jnp.float32), tb.astype(jnp.float32),
@@ -738,9 +766,14 @@ def pallas_fused_sn_block(
     """fused_sn_block drop-in on the Pallas kernel; pads both bands to the
     tile size (padded all-zero genomes produce cnt == 0 -> s == 0, n == 0,
     and are sliced off).  ``approx``/``precise`` select the kernel divide
-    (see _accumulate); default is the Newton-refined reciprocal."""
+    (see _accumulate); default is the Newton-refined reciprocal.
+
+    Works inside ``shard_map`` bodies (parallel/mesh.py) — the callers there
+    pass ``check_vma=False`` because Mosaic's output vma is untyped — and in
+    interpret mode (_interpret_mode) for the virtual-CPU-mesh tests."""
     P, A, K = ma.shape
     B = mb.shape[1]
+    interpret = _interpret_mode()
     blocked = K > MAX_K_SINGLE_BLOCK
     if tile is None:
         tile = auto_tile(max(A, B), K_BLOCK if blocked else K)
@@ -754,11 +787,13 @@ def pallas_fused_sn_block(
         tb = jnp.pad(tb, ((0, 0), (0, bp - B)))
     if blocked:
         s, n = _pallas_sn_rect_kb(
-            ma, mb, ta, tb, tile=tile, approx=approx, precise=precise
+            ma, mb, ta, tb, tile=tile, approx=approx, precise=precise,
+            interpret=interpret,
         )
     else:
         s, n = _pallas_sn_rect(
-            ma, mb, ta, tb, tile=tile, approx=approx, precise=precise
+            ma, mb, ta, tb, tile=tile, approx=approx, precise=precise,
+            interpret=interpret,
         )
     return s[:A, :B], n[:A, :B]
 

@@ -139,6 +139,60 @@ def test_qt_compat_on_every_device_path(subset1_db, subset2_db):
         np.testing.assert_allclose(sharded.s, exact.s, rtol=1e-6)
 
 
+def test_streamed_mesh_pallas_interpret(combo12_db, tmp_path, monkeypatch):
+    """compute_streamed's TPU mesh branch (Pallas rect kernel inside
+    shard_map, VERDICT r2 item 3) in interpret mode on the 4-device virtual
+    mesh: the CSV must match the exact engine to f32 tolerance, and the
+    two-database compat denominators must ride through the Pallas body."""
+    from parfastaai_tpu.engine import compute_streamed
+    from parfastaai_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setenv("PARFASTAAI_FORCE_DEVICE", "1")
+    monkeypatch.setenv("PARFASTAAI_PALLAS_INTERPRET", "1")
+    meta, pres = _load(combo12_db)
+    g = len(meta.genome_set)
+    ids = np.arange(g, dtype=np.int32)
+    exact_csv = tmp_path / "exact.csv"
+    assert run([combo12_db, str(exact_csv), "--quiet"]) == 0
+    meshed = tmp_path / "meshed.csv"
+    compute_streamed(
+        pres, ids, ids, str(meshed), meta.genome_set, meta.genome_set,
+        band=4, col_chunk=8, mesh=make_mesh(4, 1),
+    )
+    _, _, want = _read_csv(str(exact_csv))
+    _, _, got = _read_csv(str(meshed))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+    # scp > 1: protein shards merge with psum around the Pallas kernel.
+    meshed2 = tmp_path / "meshed2.csv"
+    compute_streamed(
+        pres, ids, ids, str(meshed2), meta.genome_set, meta.genome_set,
+        band=4, col_chunk=8, mesh=make_mesh(2, 2),
+    )
+    _, _, got2 = _read_csv(str(meshed2))
+    np.testing.assert_allclose(got2, want, rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_rect_pallas_interpret(subset1_db, subset2_db, monkeypatch):
+    """compute_sharded's rectangular (two-database) mesh path with the Pallas
+    kernel in interpret mode, both compat settings."""
+    from parfastaai_tpu.etl.database import QueryTargetDatabase
+    from parfastaai_tpu.modes import query_target
+
+    monkeypatch.setenv("PARFASTAAI_PALLAS_INTERPRET", "1")
+    db = QueryTargetDatabase(subset1_db, subset2_db)
+    pres = db.load_presence()
+    db.close()
+    for compat in (True, False):
+        pairs = query_target(db.meta, compat_qt_t_swap=compat)
+        exact = compute(pres, pairs)
+        sharded = compute_sharded(pres, pairs, n_rows=2, n_scp=2)
+        np.testing.assert_array_equal(sharded.n, exact.n)
+        # The kernel's default Newton-reciprocal divide carries ~1.4e-7
+        # relative error per protein term (ops.pallas_intersect._accumulate);
+        # accumulated over ~80 proteins the fused contract is ~1e-5 on S.
+        np.testing.assert_allclose(sharded.s, exact.s, rtol=1e-5)
+
+
 def test_streamed_mesh_rows_scp(combo12_db, tmp_path, monkeypatch):
     """VERDICT r1 item 5: --streamed --mesh ROWS,SCP uses both axes.
     rows-only sharding is bit-equal to single-device; adding the scp axis

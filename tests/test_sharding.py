@@ -29,6 +29,24 @@ def test_mesh_matches_single_device(n_rows, n_scp):
     np.testing.assert_allclose(np.asarray(aji), np.asarray(ref_aji), rtol=1e-5)
 
 
+@pytest.mark.parametrize("n_rows,n_scp", [(4, 2), (8, 1)])
+def test_mesh_pallas_interpret_matches_single(n_rows, n_scp, monkeypatch):
+    """The TPU mesh program — the Pallas rectangular kernel INSIDE shard_map
+    (VERDICT r2 item 3) — run in Pallas interpret mode on the virtual CPU
+    mesh, so the per-device program real chips execute is covered by the
+    8-device tests, not just the XLA-scan fallback."""
+    monkeypatch.setenv("PARFASTAAI_PALLAS_INTERPRET", "1")
+    m, t = _rand_presence()
+    mesh = make_mesh(n_rows, n_scp)
+    aji, s, n = sharded_fused_aji(mesh, m, t)
+    ref_aji, ref_s, ref_n = fused_aji(jnp.asarray(m), jnp.asarray(t))
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(aji), np.asarray(ref_aji), rtol=1e-5
+    )
+
+
 def test_mesh_shape_validation():
     mesh = make_mesh(8, 1)
     m, t = _rand_presence(G=30)  # 30 not divisible by 8 rows
