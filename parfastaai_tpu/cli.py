@@ -228,7 +228,7 @@ def _enable_compilation_cache() -> None:
 
 def run(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    _init_backend()
+    multiproc = _init_backend()
     from .parallel.distributed import is_primary
 
     primary = is_primary()
@@ -262,30 +262,68 @@ def run(argv: list[str] | None = None) -> int:
                 "require --fast or --streamed",
             )
         two_db = bool(args.query_db) and args.query_db != args.path_to_input_db
+        # Single-reader ETL (multi-process runs): only the primary opens the
+        # SQLite database at all — metadata and presence tensors are
+        # broadcast to the other processes (parallel/distributed), so an
+        # N-host launch reads the multi-GB database once, not N times.  DB
+        # errors are broadcast in the payload's place so every process fails
+        # with the same PFAAIError instead of deadlocking in a collective.
+        db = None
+        meta = None
+        err = None
+        if primary:
+            try:
+                with phase_timer("DB open + metadata ", enabled=verbose):
+                    if two_db:
+                        db = QueryTargetDatabase(
+                            args.path_to_input_db, args.query_db
+                        )
+                    else:
+                        db = SCPDatabase(args.path_to_input_db)
+                    meta = db.meta
+            except PFAAIError as e:
+                err = e
+        if multiproc:
+            from .parallel.distributed import broadcast_pyobj
+
+            meta = broadcast_pyobj(err if err is not None else meta)
+            if isinstance(meta, PFAAIError):
+                raise meta
+        elif err is not None:
+            raise err
+
         # The streamed engine consumes only the CSV axes; building the full
         # per-pair PairSpace would cost O(G^2) host memory — fatal at exactly
         # the genome counts --streamed exists for (modes.StreamAxes).
         if two_db:
-            with phase_timer("DB open + metadata ", enabled=verbose):
-                db = QueryTargetDatabase(args.path_to_input_db, args.query_db)
-                mode_fn = query_target_axes if args.streamed else query_target
-                pairs = mode_fn(
-                    db.meta, compat_qt_t_swap=not args.no_compat_qt_t_swap
-                )
+            mode_fn = query_target_axes if args.streamed else query_target
+            pairs = mode_fn(
+                meta, compat_qt_t_swap=not args.no_compat_qt_t_swap
+            )
+        elif args.query_subset:
+            queries = load_query_genomes(args.query_subset)
+            mode_fn = query_subset_axes if args.streamed else query_subset
+            pairs = mode_fn(meta, queries)
+        elif args.streamed:
+            pairs = all_vs_all_axes(meta)
         else:
-            with phase_timer("DB open + metadata ", enabled=verbose):
-                db = SCPDatabase(args.path_to_input_db)
-            if args.query_subset:
-                queries = load_query_genomes(args.query_subset)
-                mode_fn = query_subset_axes if args.streamed else query_subset
-                pairs = mode_fn(db.meta, queries)
-            elif args.streamed:
-                pairs = all_vs_all_axes(db.meta)
-            else:
-                pairs = all_vs_all(db.meta)
+            pairs = all_vs_all(meta)
 
-        with phase_timer("Presence ETL       ", enabled=verbose):
-            presence = db.load_presence(verbose=verbose)
+        presence = None
+        err = None
+        if primary:
+            try:
+                with phase_timer("Presence ETL       ", enabled=verbose):
+                    presence = db.load_presence(verbose=verbose)
+            except PFAAIError as e:
+                err = e
+        if multiproc:
+            from .parallel.distributed import broadcast_presence
+
+            with phase_timer("Presence broadcast ", enabled=verbose):
+                presence = broadcast_presence(presence, error=err)
+        elif err is not None:
+            raise err
         if args.dump_e and primary:
             from .etl.derive import derive_qsub, derive_qt, derive_single
 
@@ -300,7 +338,8 @@ def run(argv: list[str] | None = None) -> int:
                     fp.write("proteinIndex,genomeA,genomeB\n")
                     for row in e:
                         fp.write(f"{row[0]},{row[1]},{row[2]}\n")
-        db.close()
+        if db is not None:
+            db.close()
         profiler = None
         if args.profile:
             import jax.profiler as profiler

@@ -90,6 +90,89 @@ def broadcast_from_primary(value: int) -> int:
     return int(out)
 
 
+def broadcast_pyobj(obj):
+    """Ship one picklable object from the primary to every process.
+
+    Single-process runs return ``obj`` unchanged.  Non-primary processes'
+    ``obj`` is ignored (pass None).  Two collectives: an int64 length, then
+    the pickled bytes as a uint8 array (broadcast_one_to_all requires every
+    process to present the same shape)."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return obj
+    import pickle
+
+    from jax.experimental import multihost_utils as mhu
+
+    if is_primary():
+        data = np.frombuffer(
+            pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL), np.uint8
+        )
+    else:
+        data = np.zeros(0, np.uint8)
+    n = int(mhu.broadcast_one_to_all(np.asarray(len(data), np.int64)))
+    if len(data) != n:
+        data = np.zeros(n, np.uint8)
+    return pickle.loads(np.asarray(mhu.broadcast_one_to_all(data)).tobytes())
+
+
+def broadcast_presence(presence, error=None):
+    """Single-reader ETL: only the primary opened the SQLite database; ship
+    its PresenceData (or its ETL failure) to every process.
+
+    The reference opens the DB once — but it has exactly one process
+    (scp_db.hpp:86-90).  At pod scale, re-running the multi-GB SQLite ETL on
+    every host is N-times redundant (VERDICT r2 item 7): one host reads, and
+    the presence tensors ride the collective fabric instead.  The 0/1
+    presence tensor is bit-packed for the wire (8x fewer DCN bytes); T /
+    widths / tetramer ids travel pickled (KBs).
+
+    ``error``: the primary's ETL exception, if any — broadcast in place of
+    the header so every process raises the same PFAAIError instead of the
+    non-primaries deadlocking in a collective the primary never joins.
+    Single-process runs return ``presence`` (or raise ``error``) directly.
+    """
+    import jax
+
+    if jax.process_count() <= 1:
+        if error is not None:
+            raise error
+        return presence
+    from jax.experimental import multihost_utils as mhu
+
+    primary = is_primary()
+    header = None
+    if primary:
+        header = error if error is not None else {
+            "meta": presence.meta,
+            "shape": tuple(presence.m.shape),
+            "t": presence.t,
+            "widths": presence.widths,
+            "tetramer_ids": presence.tetramer_ids,
+        }
+    header = broadcast_pyobj(header)
+    if isinstance(header, BaseException):
+        raise header
+    P, G, K = header["shape"]
+    if primary:
+        bits = np.packbits(np.ascontiguousarray(presence.m), axis=-1)
+    else:
+        bits = np.zeros((P, G, (K + 7) // 8), np.uint8)
+    bits = np.asarray(mhu.broadcast_one_to_all(bits))
+    if primary:
+        return presence  # keep the original (engine caches hang off it)
+    from ..etl.database import PresenceData
+
+    return PresenceData(
+        meta=header["meta"],
+        m=np.unpackbits(bits, axis=-1)[..., :K],
+        t=header["t"],
+        widths=header["widths"],
+        tetramer_ids=header["tetramer_ids"],
+    )
+
+
 def is_primary() -> bool:
     """True on the process that owns CSV/file output (reference semantics:
     one writer, src/main.cpp:133-175; everyone else only computes)."""

@@ -31,6 +31,12 @@ class PFAAIError(RuntimeError):
         super().__init__(message)
         self.code = code
 
+    def __reduce__(self):
+        # Default Exception pickling replays self.args (message only) into
+        # __init__ and loses ``code``; errors cross process boundaries in the
+        # multi-host single-reader ETL (parallel/distributed.broadcast_pyobj).
+        return (PFAAIError, (self.code, str(self)))
+
 
 @dataclass(frozen=True)
 class DBMetaData:

@@ -96,3 +96,41 @@ def test_two_process_matches_single(combo12_db, tmp_path, mode_args):
     one = tmp_path / "one.csv"
     assert _run_single([combo12_db, str(one)] + mode_args) == 0
     assert two.read_bytes() == one.read_bytes()
+
+
+def test_nonprimary_never_opens_db(combo12_db, tmp_path):
+    """Single-reader ETL (VERDICT r2 item 7): the non-primary process gets a
+    NONEXISTENT database path — if it ever tried to open the DB it would
+    fail, so success + a byte-identical CSV proves metadata and presence
+    arrived via broadcast, not a redundant per-process ETL."""
+    mode_args = ["--streamed", "--mesh", "4,2", "--band", "4", "--col-chunk", "5"]
+    two = tmp_path / "two.csv"
+    other = tmp_path / "nonprimary.csv"
+    bogus = str(tmp_path / "does_not_exist.db")
+
+    def args_for(pid):
+        db = combo12_db if pid == 0 else bogus
+        out = two if pid == 0 else other
+        return [db, str(out)] + mode_args
+
+    codes = _run_pair(args_for)
+    assert codes == [0, 0]
+    assert not other.exists()
+
+    one = tmp_path / "one.csv"
+    assert _run_single([combo12_db, str(one)] + mode_args) == 0
+    assert two.read_bytes() == one.read_bytes()
+
+
+def test_primary_db_error_propagates(tmp_path):
+    """When the PRIMARY's database is missing, every process must exit with
+    the same SQLITE_DB_ERROR code (1) — the error is broadcast in the
+    payload's place so non-primaries raise instead of deadlocking in a
+    collective the primary never joins."""
+    bogus = str(tmp_path / "does_not_exist.db")
+
+    def args_for(pid):
+        return [bogus, str(tmp_path / f"out{pid}.csv"), "--mesh", "4,2"]
+
+    codes = _run_pair(args_for, timeout=120)
+    assert codes == [1, 1]
