@@ -117,6 +117,18 @@ def build_parser() -> argparse.ArgumentParser:
         ),
     )
     p.add_argument(
+        "--staged",
+        action="store_true",
+        help=(
+            "Force presence-slab staging: genome slabs are uploaded on "
+            "demand (LRU-cached) instead of holding the whole presence "
+            "tensor in device memory — for databases larger than one "
+            "device's HBM.  Default: automatic when the backend reports a "
+            "memory limit the presence tensor exceeds "
+            "(PARFASTAAI_HBM_BYTES overrides the budget)"
+        ),
+    )
+    p.add_argument(
         "--band", type=int, default=1024, help="Streamed mode: rows per band"
     )
     p.add_argument(
@@ -369,6 +381,7 @@ def run(argv: list[str] | None = None) -> int:
                         resume=args.resume,
                         row_denom_ids=pairs.row_denom_ids,
                         col_denom_ids=pairs.col_denom_ids,
+                        staged=args.staged or None,
                     )
                 if profiler is not None:
                     profiler.stop_trace()
@@ -396,6 +409,7 @@ def run(argv: list[str] | None = None) -> int:
                     precise=args.precise,
                     row_denom_ids=pairs.row_denom_ids,
                     col_denom_ids=pairs.col_denom_ids,
+                    staged=args.staged or None,
                 )
             if profiler is not None:
                 profiler.stop_trace()
@@ -412,7 +426,8 @@ def run(argv: list[str] | None = None) -> int:
                 result = compute_sharded(presence, pairs, n_rows, n_scp)
             elif args.fast:
                 result = compute_fast(
-                    presence, pairs, approx=args.approx, precise=args.precise
+                    presence, pairs, approx=args.approx,
+                    precise=args.precise, staged=args.staged or None,
                 )
             else:
                 if verbose:

@@ -301,6 +301,265 @@ def _device_buckets(presence: PresenceData):
     return cache[key]
 
 
+# Per-chip HBM for backends whose memory_stats() reports nothing (this
+# environment's TPU relay returns None).  Keyed by device_kind substring.
+_DEVICE_HBM_BYTES = {
+    "v5 lite": 16 << 30,
+    "v5e": 16 << 30,
+    "v6 lite": 32 << 30,
+    "v6e": 32 << 30,
+    "v5p": 95 << 30,
+    "v4": 32 << 30,
+    "v3": 16 << 30,
+    "v2": 8 << 30,
+}
+
+
+def _hbm_budget() -> int | None:
+    """Device-memory budget for presence residency decisions.
+
+    PARFASTAAI_HBM_BYTES overrides; otherwise 75% of the backend's reported
+    per-device memory limit (leaving room for result blocks, double
+    buffering, and XLA scratch), falling back to a device-kind table when
+    memory_stats() reports nothing (this environment's relay).  None when
+    nothing is known (CPU) — callers then keep today's resident behavior."""
+    import os
+
+    env = os.environ.get("PARFASTAAI_HBM_BYTES")
+    if env:
+        return int(float(env))
+    try:
+        import jax
+
+        dev = jax.local_devices()[0]
+        stats = dev.memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"] * 0.75)
+        if dev.platform == "tpu":
+            kind = dev.device_kind.lower()
+            for sub, nbytes in _DEVICE_HBM_BYTES.items():
+                if sub in kind:
+                    return int(nbytes * 0.75)
+    except Exception:
+        pass
+    return None
+
+
+def presence_device_bytes(presence: PresenceData) -> int:
+    """HBM bytes the RESIDENT block engines would hold: the width-bucketed
+    int8 presence slices of _device_buckets (sum of Pb * G * Kb)."""
+    from .etl.database import bucket_bounds
+
+    _, bounds = bucket_bounds(presence.widths)
+    g = presence.m.shape[1]
+    return sum((i - k) * g * kb for k, i, kb in bounds)
+
+
+def _use_staged(presence: PresenceData, staged: bool | None = None) -> bool:
+    """Resolve the staged-vs-resident choice: explicit caller/CLI setting,
+    then PARFASTAAI_STAGED=1, then automatic (presence exceeds the device
+    budget when the backend reports one)."""
+    import os
+
+    if staged is not None:
+        return staged
+    if os.environ.get("PARFASTAAI_STAGED"):
+        return True
+    budget = _hbm_budget()
+    return budget is not None and presence_device_bytes(presence) > budget
+
+
+def _slab_store(presence: PresenceData):
+    """Per-backend LRU of device-resident presence slabs, shared by the
+    staged block and count engines.
+
+    ``fetch(bucket_i, idx, kb, ids)`` returns the device int8 slab
+    (len(idx), len(ids), kb) for width-bucket ``bucket_i`` (proteins ``idx``
+    of presence.m, contraction width ``kb``), gathering from host and
+    shipping bit-packed (engine.upload_presence) on miss.  Cached bytes are
+    bounded by ~60% of _hbm_budget (the rest is working blocks); the two
+    live slabs of the current block are never evicted.  A row band's slab is
+    reused across all its column chunks, and — for symmetric problems —
+    cached column slabs re-serve as later row bands while the budget lasts.
+    """
+    import jax
+
+    stores = getattr(presence, "_slab_store_cache", None)
+    if stores is None:
+        stores = {}
+        presence._slab_store_cache = stores
+    backend = jax.default_backend()
+    if backend not in stores:
+        from collections import OrderedDict
+
+        slabs: OrderedDict = OrderedDict()
+        state = {"bytes": 0}
+        budget = _hbm_budget()
+        cap = int((budget if budget is not None else 4 * 1024**3) * 0.6)
+
+        def fetch(bucket_i: int, idx: np.ndarray, kb: int, ids: np.ndarray):
+            key = (bucket_i, ids.tobytes())
+            hit = slabs.get(key)
+            if hit is not None:
+                slabs.move_to_end(key)
+                return hit[0]
+            # Slab-sized host gather only — never a full-G bucket copy.
+            slab_np = np.ascontiguousarray(
+                presence.m[np.ix_(idx, ids)][:, :, :kb]
+            )
+            slab = upload_presence(slab_np)
+            nb = slab.size  # int8: elements == bytes
+            slabs[key] = (slab, nb)
+            state["bytes"] += nb
+            while state["bytes"] > cap and len(slabs) > 2:
+                _, (_, old_bytes) = slabs.popitem(last=False)
+                state["bytes"] -= old_bytes
+            return slab
+
+        stores[backend] = fetch
+    return stores[backend]
+
+
+def _staged_block_engine(
+    presence: PresenceData,
+    approx: bool,
+    precise: bool,
+    use_pallas: bool | None = None,
+):
+    """Banded (S, N) block engine for presence tensors LARGER THAN ONE HBM.
+
+    The resident engine (_bucket_block_engine) uploads every width bucket
+    whole, so G is bounded by device memory on every path (VERDICT r2
+    missing #2 / item 4; the reference's own doc plans memory batching for
+    exactly this case, doc/pfaai_algorithm.tex:218-224).  Here each
+    (band x col_chunk) block's two genome slabs are gathered host-side and
+    shipped bit-packed on demand, with the _slab_store LRU keeping the
+    hottest slabs device-resident — device memory is O(budget), G is
+    bounded by host RAM.  Upload/compute overlap comes free from async
+    dispatch: the next chunk's slab crosses the wire while the current
+    block computes (double buffering without explicit machinery).
+
+    Same contract as _bucket_block_engine:
+    ``block_sn(rids, cids, drids, dcids, nb, nc) -> (s, n)`` device arrays.
+    """
+    import jax
+
+    cache = getattr(presence, "_staged_engine_cache", None)
+    if cache is None:
+        cache = {}
+        presence._staged_engine_cache = cache
+    from .ops.pallas_intersect import (
+        pallas_fused_sn_block,
+        use_pallas_default,
+    )
+
+    use_pallas_blk = use_pallas_default(use_pallas)
+    key = (approx, precise, use_pallas_blk, jax.default_backend())
+    if key in cache:
+        return cache[key]
+
+    from .etl.database import bucket_bounds
+    from .ops.fused import fused_sn_block as _xla_block
+
+    order, bounds = bucket_bounds(presence.widths)
+    plan = [(order[k:i], kb) for k, i, kb in bounds]
+    fetch = _slab_store(presence)
+
+    @jax.jit
+    def slab_sn(ma, mb, ta, tb):
+        if use_pallas_blk:
+            return pallas_fused_sn_block(
+                ma, mb, ta, tb, approx=approx, precise=precise
+            )
+        return _xla_block(ma, mb, ta, tb)
+
+    def block_sn(rids, cids, drids, dcids, nb, nc):
+        rids = np.asarray(rids)
+        cids = np.asarray(cids)
+        drids = np.asarray(drids)
+        dcids = np.asarray(dcids)
+        s = n = None
+        for bi, (idx, kb) in enumerate(plan):
+            ma = fetch(bi, idx, kb, rids)
+            mb = fetch(bi, idx, kb, cids)
+            ta = jnp.asarray(presence.t[np.ix_(idx, drids)])
+            tb = jnp.asarray(presence.t[np.ix_(idx, dcids)])
+            s_b, n_b = slab_sn(ma, mb, ta, tb)
+            s = s_b if s is None else s + s_b
+            n = n_b if n is None else n + n_b
+        return s, n
+
+    cache[key] = (block_sn, use_pallas_blk)
+    return cache[key]
+
+
+def _choose_block_engine(
+    presence: PresenceData,
+    approx: bool,
+    precise: bool,
+    use_pallas: bool | None = None,
+    staged: bool | None = None,
+):
+    """Resident engine when the presence buckets fit the device budget,
+    staged slab engine beyond it (see _use_staged for the resolution
+    order).  Both return the same block_sn contract."""
+    if _use_staged(presence, staged):
+        return _staged_block_engine(presence, approx, precise, use_pallas)
+    return _bucket_block_engine(presence, approx, precise, use_pallas)
+
+
+def _staged_count_engine(presence: PresenceData):
+    """Staged twin of _bucket_count_engine for the banded exact path:
+    integer count blocks from on-demand slabs (same _slab_store, same
+    out-dtype rule), so --streamed --exact also runs at any G the host can
+    hold."""
+    import jax
+
+    cache = getattr(presence, "_staged_count_cache", None)
+    if cache is None:
+        cache = {}
+        presence._staged_count_cache = cache
+    backend = jax.default_backend()
+    if backend in cache:
+        return cache[backend]
+
+    from .etl.database import bucket_bounds
+
+    order, bounds = bucket_bounds(presence.widths)
+    plan = [(order[k:i], kb) for k, i, kb in bounds]
+    fetch = _slab_store(presence)
+    out_dtype = jnp.int16 if int(presence.t.max()) < 2**15 else jnp.int32
+
+    @jax.jit
+    def slab_counts(ma, mb):
+        def step(_, inp):
+            mpa, mpb = inp
+            cnt = jax.lax.dot_general(
+                mpa, mpb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return None, cnt.astype(out_dtype)
+
+        _, out = jax.lax.scan(step, None, (ma, mb))
+        return out
+
+    def block_counts(rids, cids, nb, nc):
+        rids = np.asarray(rids)
+        cids = np.asarray(cids)
+        return [
+            (
+                idx,
+                slab_counts(
+                    fetch(bi, idx, kb, rids), fetch(bi, idx, kb, cids)
+                ),
+            )
+            for bi, (idx, kb) in enumerate(plan)
+        ]
+
+    cache[backend] = block_counts
+    return block_counts
+
+
 def _bucket_count_engine(presence: PresenceData):
     """Banded integer-count block engine for the streamed exact path.
 
@@ -432,6 +691,7 @@ def _banded_sn(
     band: int = 1024,
     col_chunk: int = 4096,
     use_pallas: bool | None = None,
+    staged: bool | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Full (len(row_ids), len(col_ids)) S/N matrices on host, computed in
     streamed-shaped device blocks (same program as compute_streamed; see
@@ -441,14 +701,18 @@ def _banded_sn(
     behind dispatch (depth 2 keeps the async-copy overlap), so device
     residency stays O(depth * band * col_chunk) instead of growing with the
     whole result matrix (ADVICE r2: at G=16384 an unbounded pending list held
-    ~2 GB of HBM on top of the presence buckets)."""
+    ~2 GB of HBM on top of the presence buckets).  When the presence buckets
+    themselves exceed the device budget, blocks run on the staged slab
+    engine instead (_choose_block_engine)."""
     row_ids = np.asarray(row_ids, np.int32)
     col_ids = np.asarray(col_ids, np.int32)
     s = np.zeros((len(row_ids), len(col_ids)), dtype=np.float32)
     n = np.zeros((len(row_ids), len(col_ids)), dtype=np.int32)
     if len(row_ids) == 0 or len(col_ids) == 0:
         return s, n
-    block_sn, _ = _bucket_block_engine(presence, approx, precise, use_pallas)
+    block_sn, _ = _choose_block_engine(
+        presence, approx, precise, use_pallas, staged
+    )
     row_denom_ids = np.asarray(row_denom_ids, np.int32)
     col_denom_ids = np.asarray(col_denom_ids, np.int32)
     band = min(band, len(row_ids))
@@ -498,6 +762,7 @@ def compute_streamed(
     precise: bool = False,
     row_denom_ids: np.ndarray | None = None,
     col_denom_ids: np.ndarray | None = None,
+    staged: bool | None = None,
 ) -> None:
     """Memory-bounded production path: AJI straight to CSV in row bands.
 
@@ -538,6 +803,10 @@ def compute_streamed(
         backend (the XLA / host fallbacks already use the IEEE divide);
         ``approx`` exists only in the Pallas kernel, so requesting it on a
         path that cannot run it raises rather than silently ignoring it.
+      staged: presence-slab staging for tensors larger than one HBM —
+        True forces it, False forces resident buckets, None (default)
+        auto-selects against the device budget (_use_staged).  Single-device
+        path only; mesh runs shard capacity over the ``scp`` axis instead.
     """
     import jax
 
@@ -613,8 +882,8 @@ def compute_streamed(
 
         if not use_pallas_default():
             _reject_approx(f"backend is {jax.default_backend()!r}, not tpu")
-        block_sn, use_pallas_blk = _bucket_block_engine(
-            presence, approx, precise
+        block_sn, use_pallas_blk = _choose_block_engine(
+            presence, approx, precise, staged=staged
         )
 
         def block(_md, _td, rids, cids, drids, dcids, nb, nc):
@@ -833,6 +1102,7 @@ def compute_streamed_exact(
     resume: bool = False,
     row_denom_ids: np.ndarray | None = None,
     col_denom_ids: np.ndarray | None = None,
+    staged: bool | None = None,
 ) -> None:
     """Banded EXACT engine: bit-parity f64 AJI straight to CSV.
 
@@ -881,7 +1151,12 @@ def compute_streamed_exact(
     band = max(1, min(band, len(row_ids)))
     col_chunk = max(1, min(col_chunk, len(col_ids)))
     use_host = _use_host(presence)
-    block_counts = None if use_host else _bucket_count_engine(presence)
+    if use_host:
+        block_counts = None
+    elif _use_staged(presence, staged):
+        block_counts = _staged_count_engine(presence)
+    else:
+        block_counts = _bucket_count_engine(presence)
     t = presence.t
     P = t.shape[0]
 
@@ -1010,6 +1285,7 @@ def compute_fast(
     use_pallas: bool | None = None,
     approx: bool = False,
     precise: bool = False,
+    staged: bool | None = None,
 ) -> JacResult:
     """Fused f32 device path; per-pair gather on device, minimal transfer.
 
@@ -1052,7 +1328,7 @@ def compute_fast(
             cols = np.arange(G, dtype=np.int32)
             s_mat, n_mat = _banded_sn(
                 presence, rows, cols, rows, cols, approx=approx,
-                precise=precise, use_pallas=use_pallas,
+                precise=precise, use_pallas=use_pallas, staged=staged,
             )
             s = s_mat[qidx_of[pairs.db_a], pairs.db_b].astype(np.float64)
             n = n_mat[qidx_of[pairs.db_a], pairs.db_b]
@@ -1067,7 +1343,7 @@ def compute_fast(
             ids = np.arange(G, dtype=np.int32)
             s_mat, n_mat = _banded_sn(
                 presence, ids, ids, ids, ids, approx=approx,
-                precise=precise, use_pallas=use_pallas,
+                precise=precise, use_pallas=use_pallas, staged=staged,
             )
             s = s_mat[pairs.db_a, pairs.db_b].astype(np.float64)
             n = n_mat[pairs.db_a, pairs.db_b]
@@ -1102,6 +1378,7 @@ def compute_fast(
                 approx=approx,
                 precise=precise,
                 use_pallas=use_pallas,
+                staged=staged,
             )
             # Pair slots are row-major rows x cols — a flatten matches.
             s = s_mat.reshape(-1).astype(np.float64)

@@ -403,27 +403,22 @@ class QueryTargetDatabase:
         )
 
 
-def bucketize_presence(
-    presence: PresenceData, max_buckets: int = 4, lane: int = LANE
-) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Group proteins into width buckets to cut MXU padding waste.
+def bucket_bounds(
+    widths: np.ndarray, max_buckets: int = 4, lane: int = LANE
+) -> tuple[np.ndarray, list[tuple[int, int, int]]]:
+    """The bucket *plan* of bucketize_presence without materializing slices.
 
-    The compacted per-protein widths vary ~10x in real databases (e.g.
-    58..558 across xdb_subset1's 79 SCPs), so a single K = max(width) pads
-    ~69% of the contraction axis with zeros.  Sorting proteins by width and
-    partitioning them into <= max_buckets contiguous groups — split points
-    chosen by exact DP minimizing total padded work sum(|group| *
-    roundup(max_width, lane)) — lets each group contract at its own K.
-
-    Returns [(protein_idx, m_b, t_b)] with m_b = (Pb, G, Kb) uint8 slices;
-    every protein appears in exactly one bucket.  Union of the buckets'
-    Gram counts equals the unbucketed counts exactly (integer math), so only
-    the f32 S accumulation order changes (~1e-7, same as any fused path).
-    """
-    P = presence.m.shape[0]
-    widths = presence.widths
+    Returns ``(order, [(start, end, kb)])``: ``order`` is the width-sorted
+    protein permutation and each bucket covers ``order[start:end]`` with a
+    padded contraction width ``kb``.  Split points come from an exact DP
+    minimizing total padded work sum(|group| * roundup(max_width, lane)).
+    Shared by bucketize_presence (which slices copies) and the staged
+    engines (engine._staged_block_engine: slab-sized gathers only — at the
+    genome counts staging targets, a full-G bucket copy would double host
+    RAM)."""
+    P = len(widths)
     order = np.argsort(widths, kind="stable").astype(np.int32)
-    w = widths[order]
+    w = np.asarray(widths)[order]
 
     def padded(width: int) -> int:
         return max(lane, _round_up(int(width), lane))
@@ -449,14 +444,32 @@ def bucketize_presence(
     i = P
     while j > 0:
         k = split[i][j]
-        bounds.append((k, i))
+        bounds.append((k, i, padded(int(w[i - 1]))))
         i, j = k, j - 1
     bounds.reverse()
+    return order, bounds
 
+
+def bucketize_presence(
+    presence: PresenceData, max_buckets: int = 4, lane: int = LANE
+) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Group proteins into width buckets to cut MXU padding waste.
+
+    The compacted per-protein widths vary ~10x in real databases (e.g.
+    58..558 across xdb_subset1's 79 SCPs), so a single K = max(width) pads
+    ~69% of the contraction axis with zeros.  Sorting proteins by width and
+    partitioning them into <= max_buckets contiguous groups (bucket_bounds)
+    lets each group contract at its own K.
+
+    Returns [(protein_idx, m_b, t_b)] with m_b = (Pb, G, Kb) uint8 slices;
+    every protein appears in exactly one bucket.  Union of the buckets'
+    Gram counts equals the unbucketed counts exactly (integer math), so only
+    the f32 S accumulation order changes (~1e-7, same as any fused path).
+    """
+    order, bounds = bucket_bounds(presence.widths, max_buckets, lane)
     out = []
-    for k, i in bounds:
+    for k, i, kb in bounds:
         idx = order[k:i]
-        kb = padded(w[i - 1])
         out.append(
             (
                 idx,

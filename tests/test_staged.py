@@ -1,0 +1,109 @@
+"""Staged (beyond-one-HBM) slab engines: genome capacity bounded by host
+RAM, not device memory (VERDICT r2 item 4; the reference plans the same
+memory batching in doc/pfaai_algorithm.tex:218-224 but never implements it).
+
+The staged engines gather (band x K) presence slabs host-side and upload
+them on demand through an LRU (engine._slab_store); forcing a tiny
+PARFASTAAI_HBM_BYTES budget makes every block churn the LRU, exercising
+upload, eviction, and reuse.  Results must match the resident engines —
+bit-for-bit for the exact banded path (integer counts + the same f64
+finish), byte-for-byte CSVs for the f32 streamed path (identical per-block
+programs and accumulation order)."""
+
+import numpy as np
+
+from parfastaai_tpu.engine import (
+    _use_staged,
+    compute,
+    compute_fast,
+    compute_streamed,
+    compute_streamed_exact,
+    presence_device_bytes,
+)
+from parfastaai_tpu.etl.database import SCPDatabase
+from parfastaai_tpu.io.csv_writer import write_aji_csv
+from parfastaai_tpu.modes import all_vs_all, query_target
+
+
+def _load(db_path):
+    db = SCPDatabase(db_path)
+    pres = db.load_presence()
+    db.close()
+    return db.meta, pres
+
+
+def test_staged_streamed_matches_resident(subset1_db, tmp_path, monkeypatch):
+    monkeypatch.setenv("PARFASTAAI_FORCE_DEVICE", "1")
+    meta, pres = _load(subset1_db)
+    g = len(meta.genome_set)
+    ids = np.arange(g, dtype=np.int32)
+    names = meta.genome_set
+
+    resident = tmp_path / "resident.csv"
+    compute_streamed(
+        pres, ids, ids, str(resident), names, names, band=3, col_chunk=3,
+        staged=False,
+    )
+    # Tiny budget: the LRU can never hold more than the two live slabs, so
+    # every block re-fetches — the maximal-eviction stress case.
+    monkeypatch.setenv("PARFASTAAI_HBM_BYTES", "1")
+    staged = tmp_path / "staged.csv"
+    compute_streamed(
+        pres, ids, ids, str(staged), names, names, band=3, col_chunk=3,
+        staged=True,
+    )
+    assert staged.read_bytes() == resident.read_bytes()
+
+
+def test_staged_exact_banded_bit_parity(subset1_db, tmp_path, monkeypatch):
+    """Staged integer counts + the same f64 finish => byte-identical CSV to
+    the default exact path."""
+    monkeypatch.setenv("PARFASTAAI_FORCE_DEVICE", "1")
+    monkeypatch.setenv("PARFASTAAI_HBM_BYTES", "1")
+    meta, pres = _load(subset1_db)
+    pairs = all_vs_all(meta)
+    want = tmp_path / "exact.csv"
+    write_aji_csv(str(want), pairs, compute(pres, pairs).aji, ",")
+
+    got = tmp_path / "staged_exact.csv"
+    ids = np.arange(len(meta.genome_set), dtype=np.int32)
+    compute_streamed_exact(
+        pres, ids, ids, str(got), meta.genome_set, meta.genome_set,
+        band=2, col_chunk=3, staged=True,
+    )
+    assert got.read_bytes() == want.read_bytes()
+
+
+def test_staged_fast_qt_compat_denominators(subset1_db, subset2_db, tmp_path,
+                                            monkeypatch):
+    """The staged engine honors per-axis denominator columns (the two-DB
+    compat T-swap) exactly like the resident one."""
+    monkeypatch.setenv("PARFASTAAI_FORCE_DEVICE", "1")
+    from parfastaai_tpu.etl.database import QueryTargetDatabase
+
+    db = QueryTargetDatabase(subset1_db, subset2_db)
+    pres = db.load_presence()
+    db.close()
+    pairs = query_target(db.meta)  # compat swap on
+    res = compute_fast(pres, pairs, staged=False)
+    monkeypatch.setenv("PARFASTAAI_HBM_BYTES", "1")
+    stg = compute_fast(pres, pairs, staged=True)
+    np.testing.assert_array_equal(stg.n, res.n)
+    np.testing.assert_array_equal(stg.s, res.s)  # identical f32 block math
+
+
+def test_use_staged_resolution(subset1_db, monkeypatch):
+    _, pres = _load(subset1_db)
+    assert presence_device_bytes(pres) > 0
+    # Explicit beats everything.
+    assert _use_staged(pres, True) is True
+    assert _use_staged(pres, False) is False
+    # Env force.
+    monkeypatch.setenv("PARFASTAAI_STAGED", "1")
+    assert _use_staged(pres, None) is True
+    monkeypatch.delenv("PARFASTAAI_STAGED")
+    # Auto: tiny budget -> staged; huge budget -> resident.
+    monkeypatch.setenv("PARFASTAAI_HBM_BYTES", "1")
+    assert _use_staged(pres, None) is True
+    monkeypatch.setenv("PARFASTAAI_HBM_BYTES", "1e18")
+    assert _use_staged(pres, None) is False
