@@ -97,20 +97,27 @@ def _gram(a, b, packed):
     )
 
 
-def _jaccard_update(p, cnt, ta_ref, tb_ref, s_ref, n_ref, approx, precise):
-    """One protein's Jaccard transform of a finished count tile, accumulated
-    into the VMEM-resident (S, N) tile."""
+def _jaccard_terms(p, cnt, ta_ref, tb_ref, approx, precise, outer=None):
+    """One protein's Jaccard tile (j, shared) WITHOUT accumulating — shared
+    by the accumulate-per-protein kernels (_jaccard_update) and the
+    fused-update experiment (_sym_kernel_2p variants, which sum two
+    proteins' terms before touching the VMEM accumulators).  ``outer``
+    optionally supplies a precomputed ta[i]+tb[j] tile (the MXU outer-sum
+    experiment)."""
     shared = cnt > 0
-    # T tiles carry all P rows (TPU block shapes need >=8 sublanes); select
-    # the current protein's row dynamically.  T arrives as f32 (exact:
-    # tetramer counts < 160000 << 2^24) so the denominator is pure f32 math —
-    # one fewer int->f32 convert per element in a VPU-bound pipeline.
-    ta = ta_ref[pl.ds(p, 1), :]  # (1, TILE) f32
-    tb = tb_ref[pl.ds(p, 1), :]
     cf = cnt.astype(jnp.float32)
+    if outer is None:
+        # T tiles carry all P rows (TPU block shapes need >=8 sublanes);
+        # select the current protein's row dynamically.  T arrives as f32
+        # (exact: tetramer counts < 160000 << 2^24) so the denominator is
+        # pure f32 math — one fewer int->f32 convert per element in a
+        # VPU-bound pipeline.
+        ta = ta_ref[pl.ds(p, 1), :]  # (1, TILE) f32
+        tb = tb_ref[pl.ds(p, 1), :]
+        outer = ta[0][:, None] + tb[0][None, :]
     # cnt > 0 implies denom >= 1, and cnt == 0 contributes 0/denom' == 0, so
     # clamping replaces a select (the pipeline is VPU-bound, not MXU-bound).
-    denom = jnp.maximum(ta[0][:, None] + tb[0][None, :] - cf, 1.0)
+    denom = jnp.maximum(outer - cf, 1.0)
     if approx:
         # Raw lookup reciprocal: 1.6e-5 max rel err, fastest (measured
         # 1037M pairs/s at G=4096 tile=512).
@@ -126,6 +133,13 @@ def _jaccard_update(p, cnt, ta_ref, tb_ref, s_ref, n_ref, approx, precise):
         r = pl.reciprocal(denom, approx=True)
         r = r * (2.0 - denom * r)
         j = cf * r
+    return j, shared
+
+
+def _jaccard_update(p, cnt, ta_ref, tb_ref, s_ref, n_ref, approx, precise):
+    """One protein's Jaccard transform of a finished count tile, accumulated
+    into the VMEM-resident (S, N) tile."""
+    j, shared = _jaccard_terms(p, cnt, ta_ref, tb_ref, approx, precise)
     s_ref[:] += j
     n_ref[:] += shared.astype(jnp.int32)
 
@@ -177,10 +191,72 @@ def _sym_kernel_2p(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "approx", "precise"))
+def _sym_kernel_2p_fused(
+    rows_ref, cols_ref, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, *,
+    approx=False, precise=False, mxu_outer=False,
+):
+    """EXPERIMENT kernels for VERDICT r2 item 6 (the 'N via MXU' arm of r1
+    item 8).  Two measured variants over the 2p triu grid:
+
+    * fused update (mxu_outer=False): both proteins' Jaccard terms are
+      computed first, then ONE read-modify-write per accumulator per grid
+      step (s += j0+j1, n += m0+m1) instead of two.  The n update is
+      mathematically the prescribed ones-vector contraction over the
+      stacked shared masks — note the contraction axis has length 2 (the
+      proteins-per-step), NOT a genome axis: N's per-cell update is
+      elementwise, so there is no (tile, K) x (K, tile) formulation for the
+      MXU to run; summing the per-step masks before accumulating is ALL the
+      'dot with ones' can mean inside this grid.
+    * mxu_outer=True: additionally builds the denominators' ta[i] + tb[j]
+      outer sums on the MXU as (tile, 2) @ (2, tile) f32 rank-2 products —
+      the only genuinely-MXU-shaped piece of the transform — freeing the
+      VPU broadcast-adds.
+
+    Measured results: see the _pallas_sn_sym_2p docstring."""
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _():
+        s_ref[:] = jnp.zeros_like(s_ref)
+        n_ref[:] = jnp.zeros_like(n_ref)
+
+    cnt0 = _gram(ma_ref[0], mb_ref[0], False)
+    cnt1 = _gram(ma_ref[1], mb_ref[1], False)
+    outer0 = outer1 = None
+    if mxu_outer:
+        dims = (((1,), (0,)), ((), ()))
+        ta0 = ta_ref[pl.ds(2 * p, 1), :][0]
+        tb0 = tb_ref[pl.ds(2 * p, 1), :][0]
+        ta1 = ta_ref[pl.ds(2 * p + 1, 1), :][0]
+        tb1 = tb_ref[pl.ds(2 * p + 1, 1), :][0]
+        ones = jnp.ones_like(ta0)
+        # precision=HIGHEST: the MXU's default bf16 pass rounds the
+        # integer-valued f32 T entries (up to 160000 >> bf16's 8-bit
+        # mantissa) — measured 1.4e-3 rel error in the denominators.
+        outer0 = jax.lax.dot_general(
+            jnp.stack([ta0, ones], axis=1), jnp.stack([ones, tb0], axis=0),
+            dims, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        outer1 = jax.lax.dot_general(
+            jnp.stack([ta1, ones], axis=1), jnp.stack([ones, tb1], axis=0),
+            dims, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    j0, m0 = _jaccard_terms(2 * p, cnt0, ta_ref, tb_ref, approx, precise,
+                            outer=outer0)
+    j1, m1 = _jaccard_terms(2 * p + 1, cnt1, ta_ref, tb_ref, approx, precise,
+                            outer=outer1)
+    s_ref[:] += j0 + j1
+    n_ref[:] += m0.astype(jnp.int32) + m1.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "approx", "precise", "variant")
+)
 def _pallas_sn_sym_2p(
     m: jax.Array, t: jax.Array, tile: int, approx: bool = False,
-    precise: bool = False,
+    precise: bool = False, variant: str = "base",
 ) -> tuple[jax.Array, jax.Array]:
     """_pallas_sn_sym with two proteins per grid step (P padded to even;
     an all-zero protein is inert: cnt == 0 -> j == 0, n += 0).
@@ -199,7 +275,24 @@ def _pallas_sn_sym_2p(
     3/step at 512 drops to 954M (pp=3 breaks the even MXU/VPU interleave);
     4 or 8/step at tile=256 reach only ~760M (small tiles pay G/tile times
     more HBM re-reads, _REL_RATE).  Two per step is the VMEM-feasible
-    optimum of this family."""
+    optimum of this family.
+
+    variant= A/Bs the r2-item-6 update experiments (same protocol,
+    2026-08-20, base re-measured 1110M first / 1128M last in-session):
+    * 'fused' (one RMW per accumulator per step: s += j0+j1, n += m0+m1 —
+      the 'dot with ones over the stacked masks' reduced to what it means
+      inside this grid, a length-2 elementwise sum): 1116M pairs/s, within
+      session noise of base.  NOT adopted as default: no measurable win,
+      and it reassociates s (j0+j1 before accumulate), which would break
+      the bit-for-bit 2p==sym pin in tests.
+    * 'mxu_outer' (denominator outer sums ta[i]+tb[j] built on the MXU as
+      (tile,2)@(2,tile) f32 rank-2 products): 652M pairs/s — 1.7x SLOWER.
+      The MXU's native f32 pass is bf16 and rounds the integer T entries
+      (measured 1.4e-3 rel error in denominators), so correctness forces
+      precision=HIGHEST, whose multi-pass emulation costs far more than
+      the VPU broadcast-adds it frees.  The MXU-N idea is a dead end in
+      this kernel: N's update is elementwise per cell, and the only
+      MXU-shaped piece (the outer sum) loses on precision grounds."""
     P, G, K = m.shape
     m = m.astype(jnp.int8)
     if P % 2:
@@ -223,8 +316,17 @@ def _pallas_sn_sym_2p(
             pl.BlockSpec((tile, tile), lambda q, p, r, c: (r[q], c[q])),
         ],
     )
+    if variant == "base":
+        kernel = functools.partial(
+            _sym_kernel_2p, approx=approx, precise=precise
+        )
+    else:  # "fused" / "mxu_outer": see _sym_kernel_2p_fused
+        kernel = functools.partial(
+            _sym_kernel_2p_fused, approx=approx, precise=precise,
+            mxu_outer=(variant == "mxu_outer"),
+        )
     s, n = pl.pallas_call(
-        functools.partial(_sym_kernel_2p, approx=approx, precise=precise),
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((G, G), jnp.float32),
@@ -840,6 +942,61 @@ def auto_tile(g: int, k: int, symmetric: bool = False) -> int:
     return best
 
 
+def fused_aji_plan(
+    p: int,
+    g: int,
+    k: int,
+    tile: int | None = None,
+    symmetric: bool = True,
+    packed: bool = False,
+) -> dict:
+    """The dispatch plan of pallas_fused_aji as data: which kernel family
+    runs, at what tile, over how many tiles, and how many int8 MACs the MXU
+    actually executes per call (triu/padding overcoverage included).
+
+    pallas_fused_aji derives its dispatch FROM this plan, so bench.py's
+    MFU / int8_mac_per_s figures (VERDICT r2 item 6) are anchored to the
+    same arithmetic the kernel really issues — not a pairs-based proxy.
+    Keys: mode ('2p'|'sym'|'full'|'kb_sym'|'kb_full'), tile, gp (padded G),
+    nt, n_tiles, pp (padded P), kp (padded/contracted K), mxu_macs."""
+    if packed and k % 2:
+        k += 1
+    k_eff = k // 2 if packed else k
+    blocked = k_eff > MAX_K_SINGLE_BLOCK
+    two_per_step = (
+        not blocked
+        and symmetric
+        and not packed
+        and k_eff <= MAX_K_SINGLE_BLOCK // 4
+    )
+    if tile is None:
+        model_k = K_BLOCK if blocked else (2 * k_eff if two_per_step else k_eff)
+        tile = auto_tile(g, model_k, symmetric=symmetric)
+    gp = ((g + tile - 1) // tile) * tile
+    nt = gp // tile
+    n_tiles = nt * (nt + 1) // 2 if symmetric else nt * nt
+    pp = p + (p % 2) if two_per_step else p
+    # Packed mode contracts two half-width dots => same MAC count as k.
+    kp = ((k + K_BLOCK - 1) // K_BLOCK) * K_BLOCK if blocked else k
+    mode = (
+        "2p"
+        if two_per_step
+        else ("kb_sym" if blocked and symmetric else
+              "kb_full" if blocked else
+              "sym" if symmetric else "full")
+    )
+    return {
+        "mode": mode,
+        "tile": tile,
+        "gp": gp,
+        "nt": nt,
+        "n_tiles": n_tiles,
+        "pp": pp,
+        "kp": kp,
+        "mxu_macs": n_tiles * tile * tile * pp * kp,
+    }
+
+
 def pallas_fused_aji(
     m: jax.Array,
     t: jax.Array,
@@ -867,24 +1024,18 @@ def pallas_fused_aji(
     if packed and K % 2:
         m = jnp.pad(m, ((0, 0), (0, 0), (0, 1)))
         K += 1
-    k_eff = K // 2 if packed else K
-    blocked = k_eff > MAX_K_SINGLE_BLOCK
+    plan = fused_aji_plan(P, G, K, tile=tile, symmetric=symmetric,
+                          packed=packed)
+    blocked = plan["mode"] in ("kb_sym", "kb_full")
     if blocked and packed:
         raise ValueError(
             "packed presence is not supported with K-blocked execution "
             f"(K={K} > {2 * MAX_K_SINGLE_BLOCK}); unpack or use "
             "ops.fused.fused_aji"
         )
-    two_per_step = (
-        not blocked
-        and symmetric
-        and not packed
-        and k_eff <= MAX_K_SINGLE_BLOCK // 4
-    )
-    if tile is None:
-        model_k = K_BLOCK if blocked else (2 * k_eff if two_per_step else k_eff)
-        tile = auto_tile(G, model_k, symmetric=symmetric)
-    gp = ((G + tile - 1) // tile) * tile
+    two_per_step = plan["mode"] == "2p"
+    tile = plan["tile"]
+    gp = plan["gp"]
     if gp != G:
         m = jnp.pad(m, ((0, 0), (0, gp - G), (0, 0)))
         t = jnp.pad(t, ((0, 0), (0, gp - G)))

@@ -346,3 +346,65 @@ def test_pallas_band_decomposition_matches_full():
         s, n = _pallas_sn_sym_bands(md, td, tile=128)
     np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
     np.testing.assert_array_equal(np.asarray(s), np.asarray(ref_s))
+
+
+def test_pallas_2p_fused_variants_match_base():
+    """The r2-item-6 experiment kernels (fused single-RMW update, MXU outer
+    sums) equal the base 2p kernel: n bit-for-bit, s within one f32
+    reassociation (the fused variant adds j0+j1 before accumulating)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from parfastaai_tpu.ops.pallas_intersect import _pallas_sn_sym_2p
+
+    m, t = _rand_presence(P=4, G=384, K=256, seed=11)
+    md, td = jnp.asarray(m), jnp.asarray(t)
+    with pltpu.force_tpu_interpret_mode():
+        ref_s, ref_n = _pallas_sn_sym_2p(md, td, tile=128, variant="base")
+        for variant in ("fused", "mxu_outer"):
+            s, n = _pallas_sn_sym_2p(md, td, tile=128, variant=variant)
+            np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
+            np.testing.assert_allclose(
+                np.asarray(s), np.asarray(ref_s), rtol=2e-6, atol=1e-5
+            )
+
+
+def test_fused_aji_plan_matches_dispatch():
+    """fused_aji_plan (the data bench.py anchors MFU to) agrees with the
+    dispatch pallas_fused_aji actually takes, across every mode boundary."""
+    from parfastaai_tpu.ops.pallas_intersect import (
+        K_BLOCK,
+        MAX_K_SINGLE_BLOCK,
+        fused_aji_plan,
+    )
+
+    cases = [
+        # (p, g, k, symmetric, packed) -> expected mode
+        (3, 384, 256, True, False, "2p"),
+        (3, 384, 256, False, False, "full"),
+        (3, 384, MAX_K_SINGLE_BLOCK // 4 + 128, True, False, "sym"),
+        (3, 384, 256, True, True, "sym"),  # packed never takes 2p
+        (3, 384, MAX_K_SINGLE_BLOCK + 128, True, False, "kb_sym"),
+        (3, 384, MAX_K_SINGLE_BLOCK + 128, False, False, "kb_full"),
+    ]
+    for p, g, k, sym, packed, want in cases:
+        plan = fused_aji_plan(p, g, k, symmetric=sym, packed=packed)
+        assert plan["mode"] == want, (p, g, k, sym, packed, plan)
+        # MAC accounting invariants: padded axes only ever grow, K-blocked
+        # kp is a whole number of K_BLOCKs, triu grids cover nt(nt+1)/2.
+        assert plan["gp"] >= g and plan["gp"] % plan["tile"] == 0
+        nt = plan["nt"]
+        assert plan["n_tiles"] == (nt * (nt + 1) // 2 if sym else nt * nt)
+        if plan["mode"].startswith("kb"):
+            assert plan["kp"] % K_BLOCK == 0 and plan["kp"] >= k
+        assert plan["mxu_macs"] == (
+            plan["n_tiles"] * plan["tile"] ** 2 * plan["pp"] * plan["kp"]
+        )
+
+
+def test_fused_aji_plan_packed_odd_k_macs():
+    """Packed odd-K pads one column; the plan counts the padded width so
+    bench MFU never exceeds what the MXU really executed."""
+    from parfastaai_tpu.ops.pallas_intersect import fused_aji_plan
+
+    plan = fused_aji_plan(3, 384, 255, symmetric=True, packed=True)
+    assert plan["kp"] == 256
