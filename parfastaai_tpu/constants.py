@@ -17,3 +17,15 @@ LANE: int = 128
 
 # Default tile edge for the genome-pair tile grid (MXU-friendly).
 DEFAULT_TILE: int = 128
+
+# Widest contraction axis a single VMEM input block holds (int8 bytes per
+# (1, 8, K) sublane row budget); beyond it the K-blocked kernel families
+# take over (ops/pallas_intersect).
+MAX_K_SINGLE_BLOCK: int = 32768
+
+# Contraction-axis block width of the K-blocked kernels.  Presence buckets
+# wider than MAX_K_SINGLE_BLOCK are padded to a K_BLOCK multiple HOST-side
+# (etl.database.bucket_bounds), so the kernels' in-jit _pad_k is a no-op —
+# a device-side pad of a multi-GB operand materializes a full HLO-temp
+# copy, which OOMed HBM on exactly the >HBM staged workloads it serves.
+K_BLOCK: int = 4096

@@ -403,17 +403,28 @@ def _slab_store(presence: PresenceData):
             if hit is not None:
                 slabs.move_to_end(key)
                 return hit[0]
-            # Slab-sized host gather only — never a full-G bucket copy.
-            slab_np = np.ascontiguousarray(
-                presence.m[np.ix_(idx, ids)][:, :, :kb]
-            )
-            slab = upload_presence(slab_np)
-            nb = slab.size  # int8: elements == bytes
-            slabs[key] = (slab, nb)
-            state["bytes"] += nb
-            while state["bytes"] > cap and len(slabs) > 2:
+            nb = len(idx) * len(ids) * kb  # int8: elements == bytes
+            # Evict BEFORE uploading: with eviction after, the cap can be
+            # transiently exceeded by a whole slab right when HBM is
+            # tightest.  len > 1 keeps the current block's other live slab
+            # (always the most recently fetched entry).
+            while state["bytes"] + nb > cap and len(slabs) > 1:
                 _, (_, old_bytes) = slabs.popitem(last=False)
                 state["bytes"] -= old_bytes
+            # Slab-sized host gather only — never a full-G bucket copy.
+            # kb is bucket_bounds-padded (K_BLOCK-aligned when wide) and may
+            # exceed the tensor's own width: gather into a zero slab so the
+            # device-side _pad_k no-ops instead of materializing an
+            # HLO-temp copy of the whole slab.
+            sub = presence.m[np.ix_(idx, ids)]
+            if kb <= sub.shape[2]:
+                slab_np = np.ascontiguousarray(sub[:, :, :kb])
+            else:
+                slab_np = np.zeros((len(idx), len(ids), kb), presence.m.dtype)
+                slab_np[:, :, : sub.shape[2]] = sub
+            slab = upload_presence(slab_np)
+            slabs[key] = (slab, nb)
+            state["bytes"] += nb
             return slab
 
         stores[backend] = fetch

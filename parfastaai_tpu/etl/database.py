@@ -30,7 +30,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..constants import LANE, NTETRAMERS
+from ..constants import K_BLOCK, LANE, MAX_K_SINGLE_BLOCK, NTETRAMERS
 from ..types import DBMetaData, ErrorCode, PFAAIError
 
 
@@ -421,7 +421,15 @@ def bucket_bounds(
     w = np.asarray(widths)[order]
 
     def padded(width: int) -> int:
-        return max(lane, _round_up(int(width), lane))
+        w = max(lane, _round_up(int(width), lane))
+        if w > MAX_K_SINGLE_BLOCK:
+            # K-blocked kernel territory: pre-align to the kernel's K_BLOCK
+            # here, HOST-side, so the jitted _pad_k is a no-op — a
+            # device-side pad of a multi-GB bucket/slab materializes a full
+            # HLO-temp copy (measured: 2 x 4.06 GiB temps OOMing a 16 GB
+            # HBM on the G=4096 K=51200 staged workload).
+            w = _round_up(w, K_BLOCK)
+        return w
 
     B = min(max_buckets, P)
     # cost[i][j]: minimal padded work for proteins [0, i) using j buckets.
@@ -470,13 +478,14 @@ def bucketize_presence(
     out = []
     for k, i, kb in bounds:
         idx = order[k:i]
-        out.append(
-            (
-                idx,
-                np.ascontiguousarray(presence.m[idx, :, :kb]),
-                np.ascontiguousarray(presence.t[idx]),
-            )
-        )
+        m_b = presence.m[idx, :, : min(kb, presence.m.shape[2])]
+        if m_b.shape[2] < kb:
+            # Wide buckets are K_BLOCK-aligned past the tensor's own width
+            # (bucket_bounds.padded); zero columns add 0 to every count.
+            m_b = np.pad(m_b, ((0, 0), (0, 0), (0, kb - m_b.shape[2])))
+        else:
+            m_b = np.ascontiguousarray(m_b)
+        out.append((idx, m_b, np.ascontiguousarray(presence.t[idx])))
     return out
 
 

@@ -30,13 +30,17 @@ from jax.experimental.pallas import tpu as pltpu
 # dimension over K_BLOCK-wide slices with an int32 count scratch in VMEM
 # (counts accumulate across K blocks; the Jaccard transform runs once, on
 # the last block).
-MAX_K_SINGLE_BLOCK = 32768
+# (values live in constants.py so the host-side bucket planner aligns
+# widths to the same numbers without importing this jax-heavy module)
+from ..constants import MAX_K_SINGLE_BLOCK
 
 # K slice width of the K-blocked kernels.  4096 keeps the double-buffered
 # input blocks at 2*2*tile*4096 bytes (8.4 MB at tile=512) so large tiles
 # still fit VMEM alongside the f32+i32 output tiles and the i32 count
-# scratch; K is padded to a multiple (zero columns add 0 to every count).
-K_BLOCK = 4096
+# scratch; K is padded to a multiple (zero columns add 0 to every count —
+# normally pre-aligned host-side by etl.database.bucket_bounds, so the
+# in-jit _pad_k below is a no-op on the engine paths).
+from ..constants import K_BLOCK
 
 
 def _interpret_mode() -> bool:
