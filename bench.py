@@ -96,15 +96,15 @@ def main() -> None:
     m = (rng.random((P, g, pool)) < (tpg / pool)).astype(np.int8)
     t = m.sum(axis=2, dtype=np.int32)
 
+    tile_override = None
     if impl == "pallas":
         from parfastaai_tpu.ops.pallas_intersect import pallas_fused_aji as fn
 
         if os.environ.get("PARFASTAAI_BENCH_APPROX"):
             fn = functools.partial(fn, approx=True)
         if os.environ.get("PARFASTAAI_BENCH_TILE"):
-            fn = functools.partial(
-                fn, tile=int(os.environ["PARFASTAAI_BENCH_TILE"])
-            )
+            tile_override = int(os.environ["PARFASTAAI_BENCH_TILE"])
+            fn = functools.partial(fn, tile=tile_override)
     else:
         from parfastaai_tpu.ops.fused import fused_aji as fn
 
@@ -159,7 +159,9 @@ def main() -> None:
     if impl == "pallas":
         from parfastaai_tpu.ops.pallas_intersect import fused_aji_plan
 
-        mxu_macs = fused_aji_plan(P, g, pool)["mxu_macs"]
+        # tile_override must flow into the plan too, or the MAC count
+        # describes a different dispatch than the one timed.
+        mxu_macs = fused_aji_plan(P, g, pool, tile=tile_override)["mxu_macs"]
     else:
         mxu_macs = P * g * g * pool  # full-square scan
     mac_per_s = mxu_macs / per_iter

@@ -190,6 +190,15 @@ def aji_to_csv(
     any genome count.  Both support resume-from-partial-file
     (``resume=True``)."""
     if engine == "streamed-exact":
+        if approx or precise or mesh:
+            # Mirror the CLI's --exact guard (cli.py): the banded exact
+            # engine is f64 single-device by definition; silently running a
+            # plain f64 pass would misreport what was asked for.
+            raise PFAAIError(
+                ErrorCode.CONSTRUCT_ERROR,
+                "engine='streamed-exact' is f64 single-device by "
+                "definition; it cannot combine with approx/precise/mesh",
+            )
         db, pairs = _open(
             db_path, query_db, query_subset, compat_qt_t_swap, axes_only=True
         )

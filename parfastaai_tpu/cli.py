@@ -36,6 +36,20 @@ from .types import ErrorCode, PFAAIError
 from .utils.timing import phase_timer
 
 
+def _as_pfaai_error(e: Exception) -> PFAAIError:
+    """Wrap any primary-side failure so it can ride the error broadcast
+    (picklable, uniform exit code) instead of stranding the other processes
+    in a collective the primary never joins."""
+    if isinstance(e, PFAAIError):
+        return e
+    code = (
+        ErrorCode.SQLITE_MEM_ALLOC_ERROR
+        if isinstance(e, MemoryError)
+        else ErrorCode.SQLITE_DB_ERROR
+    )
+    return PFAAIError(code, f"{type(e).__name__}: {e}")
+
+
 def load_query_genomes(path: str) -> list[str]:
     """Whitespace-split genome names (reference AppParams::load_query_genomes,
     src/main.cpp:114-124)."""
@@ -264,6 +278,23 @@ def run(argv: list[str] | None = None) -> int:
                 "--exact is f64 single-device by definition; it cannot "
                 "combine with --approx/--precise/--mesh",
             )
+        if args.staged and not (args.fast or args.streamed):
+            # The default exact path holds only integer count blocks, not
+            # the presence tensor, on device; accepting --staged there would
+            # silently do nothing — the OOM the flag promises to avoid
+            # would still happen.
+            raise PFAAIError(
+                ErrorCode.CONSTRUCT_ERROR,
+                "--staged stages the presence slabs of the banded device "
+                "engines and requires --fast or --streamed",
+            )
+        if args.staged and args.mesh:
+            raise PFAAIError(
+                ErrorCode.CONSTRUCT_ERROR,
+                "--staged is single-device; a mesh shards presence "
+                "capacity over the scp axis instead (drop --staged or "
+                "--mesh)",
+            )
         if (args.approx or args.precise) and not (args.fast or args.streamed):
             # The divide selectors act on the fused Pallas kernel only; the
             # exact path (and --mesh's XLA-scan path) always uses the IEEE
@@ -293,8 +324,11 @@ def run(argv: list[str] | None = None) -> int:
                     else:
                         db = SCPDatabase(args.path_to_input_db)
                     meta = db.meta
-            except PFAAIError as e:
-                err = e
+            except Exception as e:  # noqa: BLE001 — ANY primary failure must
+                # reach the non-primaries, or they deadlock in the broadcast
+                # collective below (a raw sqlite3.OperationalError on a
+                # corrupt-but-present DB would otherwise kill only process 0).
+                err = _as_pfaai_error(e)
         if multiproc:
             from .parallel.distributed import broadcast_pyobj
 
@@ -313,7 +347,24 @@ def run(argv: list[str] | None = None) -> int:
                 meta, compat_qt_t_swap=not args.no_compat_qt_t_swap
             )
         elif args.query_subset:
-            queries = load_query_genomes(args.query_subset)
+            # The query list, like the DB, may exist only on the primary's
+            # disk (single-reader semantics): read once, broadcast the names
+            # (or the error, so every process fails identically instead of
+            # the primary stranding in the presence-broadcast collective).
+            queries = err = None
+            if primary:
+                try:
+                    queries = load_query_genomes(args.query_subset)
+                except Exception as e:  # noqa: BLE001 — see DB open above
+                    err = _as_pfaai_error(e)
+            if multiproc:
+                from .parallel.distributed import broadcast_pyobj
+
+                queries = broadcast_pyobj(err if err is not None else queries)
+                if isinstance(queries, PFAAIError):
+                    raise queries
+            elif err is not None:
+                raise err
             mode_fn = query_subset_axes if args.streamed else query_subset
             pairs = mode_fn(meta, queries)
         elif args.streamed:
@@ -327,8 +378,9 @@ def run(argv: list[str] | None = None) -> int:
             try:
                 with phase_timer("Presence ETL       ", enabled=verbose):
                     presence = db.load_presence(verbose=verbose)
-            except PFAAIError as e:
-                err = e
+            except Exception as e:  # noqa: BLE001 — see DB open above
+                # (MemoryError on a multi-GB ETL is the plausible one here)
+                err = _as_pfaai_error(e)
         if multiproc:
             from .parallel.distributed import broadcast_presence
 

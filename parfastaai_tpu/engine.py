@@ -363,8 +363,11 @@ def _use_staged(presence: PresenceData, staged: bool | None = None) -> bool:
 
     if staged is not None:
         return staged
-    if os.environ.get("PARFASTAAI_STAGED"):
-        return True
+    env = os.environ.get("PARFASTAAI_STAGED")
+    if env is not None and env != "":
+        # Tri-state env: "0"/"false" force resident, anything else forces
+        # staged (plain truthiness would read PARFASTAAI_STAGED=0 as ON).
+        return env.lower() not in ("0", "false", "no")
     budget = _hbm_budget()
     return budget is not None and presence_device_bytes(presence) > budget
 
@@ -411,17 +414,22 @@ def _slab_store(presence: PresenceData):
             while state["bytes"] + nb > cap and len(slabs) > 1:
                 _, (_, old_bytes) = slabs.popitem(last=False)
                 state["bytes"] -= old_bytes
-            # Slab-sized host gather only — never a full-G bucket copy.
+            # Slab-sized host gather only — never a full-G bucket copy, and
+            # only the bucket's own K columns (np.ix_ over (idx, ids) alone
+            # would copy the tensor's FULL width first: a narrow bucket of a
+            # wide tensor would gather hundreds of times the slab size).
             # kb is bucket_bounds-padded (K_BLOCK-aligned when wide) and may
             # exceed the tensor's own width: gather into a zero slab so the
             # device-side _pad_k no-ops instead of materializing an
             # HLO-temp copy of the whole slab.
-            sub = presence.m[np.ix_(idx, ids)]
-            if kb <= sub.shape[2]:
-                slab_np = np.ascontiguousarray(sub[:, :, :kb])
+            kw = min(kb, presence.m.shape[2])
+            if kb == kw:
+                slab_np = np.ascontiguousarray(
+                    presence.m[idx[:, None], ids[None, :], :kw]
+                )
             else:
                 slab_np = np.zeros((len(idx), len(ids), kb), presence.m.dtype)
-                slab_np[:, :, : sub.shape[2]] = sub
+                slab_np[:, :, :kw] = presence.m[idx[:, None], ids[None, :], :kw]
             slab = upload_presence(slab_np)
             slabs[key] = (slab, nb)
             state["bytes"] += nb
@@ -1182,12 +1190,14 @@ def compute_streamed_exact(
             nr = len(rids)
             rows_aji = np.empty((nr, len(col_ids)), dtype=np.float64)
             rpad = np.pad(rids, (0, band - nr))
+            # Chunk-invariant row operand: convert once per band, not once
+            # per column chunk.
+            ma = presence.m[:, rids].astype(np.float64) if use_host else None
             for c0 in range(0, len(col_ids), col_chunk):
                 cids = col_ids[c0 : c0 + col_chunk]
                 dcids = col_denom_ids[c0 : c0 + col_chunk]
                 nc = len(cids)
                 if use_host:
-                    ma = presence.m[:, rids].astype(np.float64)
                     mb = presence.m[:, cids].astype(np.float64)
                     counts = np.rint(ma @ mb.transpose(0, 2, 1)).astype(
                         np.int32

@@ -155,18 +155,41 @@ def broadcast_presence(presence, error=None):
     if isinstance(header, BaseException):
         raise header
     P, G, K = header["shape"]
+    kb = (K + 7) // 8
+    # Chunk the bit tensor along the protein axis: broadcast_one_to_all
+    # device-puts its whole operand, so a single-shot broadcast of a
+    # presence tensor near (or beyond) one HBM — exactly the staged-slab
+    # scale — would OOM the chip before any compute.  Chunks are bounded by
+    # PARFASTAAI_BCAST_CHUNK_BYTES (default 256 MiB of packed bits).
+    import os
+
+    chunk_bytes = int(
+        float(os.environ.get("PARFASTAAI_BCAST_CHUNK_BYTES", 256 * 1024**2))
+    )
+    per_p = max(1, G * kb)
+    p_step = max(1, min(P, chunk_bytes // per_p))
     if primary:
-        bits = np.packbits(np.ascontiguousarray(presence.m), axis=-1)
+        out = None
     else:
-        bits = np.zeros((P, G, (K + 7) // 8), np.uint8)
-    bits = np.asarray(mhu.broadcast_one_to_all(bits))
+        out = np.empty((P, G, kb), np.uint8)
+    for p0 in range(0, P, p_step):
+        p1 = min(P, p0 + p_step)
+        if primary:
+            chunk = np.packbits(
+                np.ascontiguousarray(presence.m[p0:p1]), axis=-1
+            )
+        else:
+            chunk = np.zeros((p1 - p0, G, kb), np.uint8)
+        got = np.asarray(mhu.broadcast_one_to_all(chunk))
+        if not primary:
+            out[p0:p1] = got
     if primary:
         return presence  # keep the original (engine caches hang off it)
     from ..etl.database import PresenceData
 
     return PresenceData(
         meta=header["meta"],
-        m=np.unpackbits(bits, axis=-1)[..., :K],
+        m=np.unpackbits(out, axis=-1)[..., :K],
         t=header["t"],
         widths=header["widths"],
         tetramer_ids=header["tetramer_ids"],

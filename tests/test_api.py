@@ -72,3 +72,17 @@ def test_aji_to_csv_streamed_exact(subset1_db, data_dir, tmp_path):
     pfa.aji_to_csv(str(out), subset1_db, engine="streamed-exact", band=2)
     ref = open(f"{data_dir}/xdb_subset1_aji_matrix_wheader.csv", "rb").read()
     assert out.read_bytes() == ref
+
+
+def test_streamed_exact_rejects_contradictory_args(subset1_db, tmp_path):
+    """engine='streamed-exact' + approx/precise/mesh must raise (the CLI
+    rejects the same combinations; the two front doors must agree)."""
+    import pytest
+
+    import parfastaai_tpu.api as pfa
+    from parfastaai_tpu.types import PFAAIError
+
+    out = str(tmp_path / "o.csv")
+    for kw in ({"approx": True}, {"precise": True}, {"mesh": (1, 1)}):
+        with pytest.raises(PFAAIError):
+            pfa.aji_to_csv(out, subset1_db, engine="streamed-exact", **kw)

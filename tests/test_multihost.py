@@ -134,3 +134,53 @@ def test_primary_db_error_propagates(tmp_path):
 
     codes = _run_pair(args_for, timeout=120)
     assert codes == [1, 1]
+
+
+def test_primary_corrupt_db_error_propagates(tmp_path):
+    """A PRESENT but corrupt database raises a raw sqlite3 error inside the
+    primary's ETL — not a PFAAIError.  It must still ride the error
+    broadcast (wrapped by cli._as_pfaai_error), or the non-primary
+    deadlocks in the presence-broadcast collective."""
+    corrupt = tmp_path / "corrupt.db"
+    corrupt.write_bytes(b"SQLite format 3\x00" + b"\xde\xad\xbe\xef" * 64)
+
+    def args_for(pid):
+        db = str(corrupt) if pid == 0 else str(tmp_path / "none.db")
+        return [db, str(tmp_path / f"out{pid}.csv"), "--mesh", "4,2"]
+
+    codes = _run_pair(args_for, timeout=120)
+    assert codes[0] != 0 and codes[0] == codes[1]
+
+
+def test_broadcast_presence_chunked(combo12_db, tmp_path):
+    """A tiny PARFASTAAI_BCAST_CHUNK_BYTES forces the presence broadcast
+    through many protein-axis chunks; the merged CSV must stay
+    byte-identical to a single-process run."""
+    port = _free_port()
+    procs = []
+    two = tmp_path / "two.csv"
+    bogus = str(tmp_path / "does_not_exist.db")
+    for pid in range(2):
+        env = _env(
+            4,
+            {
+                "PARFASTAAI_COORDINATOR": f"127.0.0.1:{port}",
+                "PARFASTAAI_NUM_PROCESSES": "2",
+                "PARFASTAAI_PROCESS_ID": str(pid),
+                "PARFASTAAI_BCAST_CHUNK_BYTES": "64",
+            },
+        )
+        db = combo12_db if pid == 0 else bogus
+        out = str(two) if pid == 0 else str(tmp_path / "np.csv")
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "parfastaai_tpu.cli", "--quiet",
+                 db, out, "--mesh", "4,2"],
+                env=env,
+                cwd=REPO,
+            )
+        )
+    assert [p.wait(timeout=240) for p in procs] == [0, 0]
+    one = tmp_path / "one.csv"
+    assert _run_single([combo12_db, str(one), "--mesh", "4,2"]) == 0
+    assert two.read_bytes() == one.read_bytes()

@@ -107,3 +107,36 @@ def test_use_staged_resolution(subset1_db, monkeypatch):
     assert _use_staged(pres, None) is True
     monkeypatch.setenv("PARFASTAAI_HBM_BYTES", "1e18")
     assert _use_staged(pres, None) is False
+
+
+def test_staged_env_zero_forces_resident(subset1_db, monkeypatch):
+    """PARFASTAAI_STAGED=0 must force the RESIDENT engine (plain string
+    truthiness read '0' as staged-on — the opposite of the request)."""
+    from parfastaai_tpu.engine import _use_staged
+    from parfastaai_tpu.etl.database import SCPDatabase
+
+    db = SCPDatabase(subset1_db)
+    pres = db.load_presence()
+    db.close()
+    monkeypatch.setenv("PARFASTAAI_HBM_BYTES", "1")  # auto would say staged
+    monkeypatch.setenv("PARFASTAAI_STAGED", "0")
+    assert _use_staged(pres) is False
+    monkeypatch.setenv("PARFASTAAI_STAGED", "1")
+    assert _use_staged(pres) is True
+
+
+def test_cli_staged_combination_guards(subset1_db, tmp_path):
+    """--staged without --fast/--streamed, or with --mesh, is a
+    CONSTRUCT_ERROR (exit 3) — not a silently ignored flag."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "out.csv")
+    for extra in (["--staged"], ["--staged", "--streamed", "--mesh", "1,1"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "parfastaai_tpu.cli", "--quiet",
+             subset1_db, out] + extra,
+            capture_output=True,
+        )
+        assert r.returncode == 3, (extra, r.stderr)
+        assert not (tmp_path / "out.csv").exists()
