@@ -372,6 +372,43 @@ def _use_staged(presence: PresenceData, staged: bool | None = None) -> bool:
     return budget is not None and presence_device_bytes(presence) > budget
 
 
+def _slab_target_bytes() -> int:
+    """Upper bound on one staged slab's device bytes (PARFASTAAI_SLAB_BYTES
+    overrides).  Sized several times below the LRU cap so a full slab
+    generation — the current block's row+col slabs, the previous
+    generation async dispatch still holds alive, and the in-flight
+    unpack temp — fits HBM with headroom: the first >HBM run shipped
+    whole-P 4.4 GiB slabs and ResourceExhausted'd from exactly that
+    pile-up."""
+    import os
+
+    env = os.environ.get("PARFASTAAI_SLAB_BYTES")
+    if env:
+        return int(float(env))
+    budget = _hbm_budget()
+    if budget is None:
+        return 2 << 30
+    return min(2 << 30, max(256 << 20, budget // 6))
+
+
+def _split_plan(plan, n_ids: int):
+    """Subdivide each width bucket's protein list so no staged slab exceeds
+    _slab_target_bytes at ``n_ids`` genomes: yields (bucket_i, p_chunk_i,
+    protein_idx, kb).  Counts are integer-exact under any protein split;
+    the f32 S accumulation order changes only at bucket granularity it
+    already changed at."""
+    target = _slab_target_bytes()
+    for bi, (idx, kb) in enumerate(plan):
+        # Largest chunk length that stays under target (floor, so every
+        # chunk is bounded — ceil-dividing the count lets array_split's
+        # larger chunks overshoot).
+        chunk_len = max(1, target // max(1, n_ids * kb))
+        n_pc = max(1, -(-len(idx) // chunk_len))
+        for pci, idx_c in enumerate(np.array_split(idx, n_pc)):
+            if len(idx_c):
+                yield bi, pci, idx_c, kb
+
+
 def _slab_store(presence: PresenceData):
     """Per-backend LRU of device-resident presence slabs, shared by the
     staged block and count engines.
@@ -380,11 +417,13 @@ def _slab_store(presence: PresenceData):
     (len(idx), len(ids), kb) for width-bucket ``bucket_i`` (proteins ``idx``
     of presence.m, contraction width ``kb``), gathering from host and
     shipping bit-packed (engine.upload_presence) on miss.  Cached bytes are
-    bounded by ~60% of _hbm_budget (the rest is working blocks); the two
-    live slabs of the current block are never evicted.  A row band's slab is
-    reused across all its column chunks, and — for symmetric problems —
-    cached column slabs re-serve as later row bands while the budget lasts.
-    """
+    bounded by 75% of _hbm_budget (the rest covers async dispatch's
+    in-flight evicted generation + unpack temps); the two live slabs of the
+    current block are never evicted.  Slabs are protein-subdivided to
+    _slab_target_bytes (engine._split_plan), so a band's full row+col slab
+    set fits the cap and is reused across all its column chunks; for
+    symmetric problems cached column slabs re-serve as later row bands
+    while the budget lasts."""
     import jax
 
     stores = getattr(presence, "_slab_store_cache", None)
@@ -398,7 +437,11 @@ def _slab_store(presence: PresenceData):
         slabs: OrderedDict = OrderedDict()
         state = {"bytes": 0}
         budget = _hbm_budget()
-        cap = int((budget if budget is not None else 4 * 1024**3) * 0.6)
+        # 0.75 of the budget: large enough to hold a full row-set + col-set
+        # of _slab_target_bytes sub-slabs (<= ~2 presence-slab generations)
+        # without churn; the remaining quarter covers the in-flight evicted
+        # generation async dispatch keeps alive plus the unpack temps.
+        cap = int((budget if budget is not None else 4 * 1024**3) * 0.75)
 
         def fetch(bucket_i: int, idx: np.ndarray, kb: int, ids: np.ndarray):
             key = (bucket_i, ids.tobytes())
@@ -498,9 +541,9 @@ def _staged_block_engine(
         drids = np.asarray(drids)
         dcids = np.asarray(dcids)
         s = n = None
-        for bi, (idx, kb) in enumerate(plan):
-            ma = fetch(bi, idx, kb, rids)
-            mb = fetch(bi, idx, kb, cids)
+        for bi, pci, idx, kb in _split_plan(plan, max(len(rids), len(cids))):
+            ma = fetch((bi, pci), idx, kb, rids)
+            mb = fetch((bi, pci), idx, kb, cids)
             ta = jnp.asarray(presence.t[np.ix_(idx, drids)])
             tb = jnp.asarray(presence.t[np.ix_(idx, dcids)])
             s_b, n_b = slab_sn(ma, mb, ta, tb)
@@ -569,10 +612,13 @@ def _staged_count_engine(presence: PresenceData):
             (
                 idx,
                 slab_counts(
-                    fetch(bi, idx, kb, rids), fetch(bi, idx, kb, cids)
+                    fetch((bi, pci), idx, kb, rids),
+                    fetch((bi, pci), idx, kb, cids),
                 ),
             )
-            for bi, (idx, kb) in enumerate(plan)
+            for bi, pci, idx, kb in _split_plan(
+                plan, max(len(rids), len(cids))
+            )
         ]
 
     cache[backend] = block_counts

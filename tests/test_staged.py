@@ -140,3 +140,26 @@ def test_cli_staged_combination_guards(subset1_db, tmp_path):
         )
         assert r.returncode == 3, (extra, r.stderr)
         assert not (tmp_path / "out.csv").exists()
+
+
+def test_split_plan_bounds_slab_bytes(monkeypatch):
+    """_split_plan subdivides a bucket's proteins so no staged slab exceeds
+    the target at the given genome count — whole-P slabs of a wide bucket
+    (4.4 GiB at P=80, band=1024, K=53248) piled past HBM with async
+    dispatch's in-flight generation."""
+    import numpy as np
+
+    from parfastaai_tpu.engine import _split_plan
+
+    monkeypatch.setenv("PARFASTAAI_SLAB_BYTES", str(10_000))
+    plan = [(np.arange(7, dtype=np.int32), 128),
+            (np.arange(7, 80, dtype=np.int32), 4096)]
+    out = list(_split_plan(plan, n_ids=64))
+    # Every protein appears exactly once, in a chunk under the target.
+    seen = np.concatenate([idx for _, _, idx, _ in out])
+    np.testing.assert_array_equal(np.sort(seen), np.arange(80))
+    for bi, pci, idx, kb in out:
+        assert len(idx) * 64 * kb <= 10_000 or len(idx) == 1
+    # Keys (bi, pci) are unique.
+    keys = [(bi, pci) for bi, pci, _, _ in out]
+    assert len(keys) == len(set(keys))
