@@ -79,8 +79,24 @@ def _pack_nibbles(m: jax.Array) -> jax.Array:
     return m[..., 0::2] | (m[..., 1::2] << 4)
 
 
-def _gram(a, b, packed):
-    """Integer intersection counts for one protein's (TILE, K[/2]) blocks."""
+def _gram(a, b, packed, f32=False):
+    """Integer intersection counts for one protein's (TILE, K[/2]) blocks.
+
+    ``f32=True`` asks the MXU to emit the counts as f32 directly (exact:
+    sums of 0/1 products bounded by K < 2^24), which would delete the
+    per-cell int32->f32 VPU convert from the VPU-bound Jaccard transform —
+    the r3 'f32gram' experiment.  RESULT (2026-08-20, on-chip): Mosaic
+    REJECTS the op ("float acc with int lhs. Expected float lhs." on
+    tpu.matmul i8 x i8 -> f32), so the convert can only move to the MXU by
+    first converting the INPUTS to bf16 — 2*tile*K input-cell converts per
+    step vs the 2*tile^2 output-cell converts saved, a 2.5x increase at
+    tile=512 K=1280.  Dead end; the kernel keeps the int32 gram + per-cell
+    astype."""
+    if f32 and not packed:
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     if packed:
         # Mosaic (this version) lowers int8 bitwise-AND but not int8 shifts,
         # so the high nibble stays scaled: hi values are {0, 16}, the hi x hi
@@ -173,7 +189,7 @@ def _kernel(ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, *, approx=False,
 
 def _sym_kernel_2p(
     rows_ref, cols_ref, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, *,
-    approx=False, precise=False,
+    approx=False, precise=False, f32gram=False,
 ):
     """Two proteins per grid step over the triu prefetch grid — measured
     EXPERIMENT (VERDICT r1 item 8): both MXU grams issue before either VPU
@@ -187,8 +203,8 @@ def _sym_kernel_2p(
         s_ref[:] = jnp.zeros_like(s_ref)
         n_ref[:] = jnp.zeros_like(n_ref)
 
-    cnt0 = _gram(ma_ref[0], mb_ref[0], False)
-    cnt1 = _gram(ma_ref[1], mb_ref[1], False)
+    cnt0 = _gram(ma_ref[0], mb_ref[0], False, f32=f32gram)
+    cnt1 = _gram(ma_ref[1], mb_ref[1], False, f32=f32gram)
     _jaccard_update(2 * p, cnt0, ta_ref, tb_ref, s_ref, n_ref, approx, precise)
     _jaccard_update(
         2 * p + 1, cnt1, ta_ref, tb_ref, s_ref, n_ref, approx, precise
@@ -289,6 +305,10 @@ def _pallas_sn_sym_2p(
       session noise of base.  NOT adopted as default: no measurable win,
       and it reassociates s (j0+j1 before accumulate), which would break
       the bit-for-bit 2p==sym pin in tests.
+    * 'f32gram' (r3: MXU emits f32 counts, deleting the per-cell int32->f32
+      convert): DOES NOT COMPILE — Mosaic requires float lhs for a float
+      accumulator; see the _gram docstring for the measured-cost argument
+      against the bf16-input workaround.
     * 'mxu_outer' (denominator outer sums ta[i]+tb[j] built on the MXU as
       (tile,2)@(2,tile) f32 rank-2 products): 652M pairs/s — 1.7x SLOWER.
       The MXU's native f32 pass is bf16 and rounds the integer T entries
@@ -320,9 +340,10 @@ def _pallas_sn_sym_2p(
             pl.BlockSpec((tile, tile), lambda q, p, r, c: (r[q], c[q])),
         ],
     )
-    if variant == "base":
+    if variant in ("base", "f32gram"):
         kernel = functools.partial(
-            _sym_kernel_2p, approx=approx, precise=precise
+            _sym_kernel_2p, approx=approx, precise=precise,
+            f32gram=(variant == "f32gram"),
         )
     else:  # "fused" / "mxu_outer": see _sym_kernel_2p_fused
         kernel = functools.partial(
