@@ -205,3 +205,34 @@ def test_exact_flag_validation(data_dir, tmp_path, capsys):
     assert run([db, out, "--quiet", "--streamed", "--exact", "--approx"]) != 0
     assert run([db, out, "--quiet", "--streamed", "--exact", "--mesh", "1"]) != 0
     capsys.readouterr()
+
+
+def test_python_m_module_entry(data_dir, tmp_path):
+    """``python -m parfastaai_tpu`` (package __main__) is the console-script
+    surface for uninstalled checkouts — byte-identical output and the same
+    exit codes as the in-process run()."""
+    import os
+    import subprocess
+    import sys
+
+    out = tmp_path / "m.csv"
+    env = dict(os.environ)
+    # Keep the subprocess host-side and hermetic: the golden DB is tiny and
+    # the legacy MAC threshold routes it to numpy without touching a backend.
+    env["PARFASTAAI_HOST_WORK_LIMIT"] = "1e18"
+    env.pop("PARFASTAAI_FORCE_DEVICE", None)
+    cp = subprocess.run(
+        [sys.executable, "-m", "parfastaai_tpu",
+         f"{data_dir}/xdb_subset1.db", str(out), "--quiet"],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert cp.returncode == 0, cp.stderr
+    ref = open(f"{data_dir}/xdb_subset1_aji_matrix_wheader.csv", "rb").read()
+    assert out.read_bytes() == ref
+    # Error path: missing database -> the reference's DB error code (1).
+    cp = subprocess.run(
+        [sys.executable, "-m", "parfastaai_tpu", "/nonexistent.db",
+         str(tmp_path / "e.csv"), "--quiet"],
+        env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert cp.returncode == 1
