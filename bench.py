@@ -128,8 +128,15 @@ def main() -> None:
         def body(carry, _):
             mdl, tdl = carry
             aji, s, n = fn(mdl, tdl)
-            # Data dependency: perturb the presence tensor with the result.
-            mdl = mdl ^ (n[0, :] % 2).astype(jnp.int8)[None, :, None]
+            # Data dependency: perturb protein 0's presence slab with the
+            # result.  One slab (G x K int8, ~5 MB) is enough to make every
+            # step's input unique and data-dependent on the previous step's
+            # output; perturbing the full (P, G, K) tensor (the r1-r2
+            # protocol) added ~840 MB/step of harness HBM traffic — ~1 ms on
+            # a 7.4 ms kernel step — that the slope method cannot cancel
+            # because it scales with steps.
+            flip = (n[0, :] % 2).astype(jnp.int8)[:, None]
+            mdl = mdl.at[0].set(mdl[0] ^ flip)
             return (mdl, tdl), aji[0, 0]
 
         (_, _), outs = jax.lax.scan(body, (mdl, td), None, length=steps)
@@ -148,8 +155,14 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    dt = timed(s_long) - timed(s_short)
-    per_iter = dt / (s_long - s_short)
+    # Two independent slope estimates, keep the faster: every noise source
+    # in this environment (relay queueing, variable download latency) only
+    # ever ADDS time, so the minimum per-iter is the least-contaminated
+    # estimate of the kernel's true rate.
+    per_iter = float("inf")
+    for _ in range(2):
+        dt = timed(s_long) - timed(s_short)
+        per_iter = min(per_iter, dt / (s_long - s_short))
     pairs = g * (g - 1) // 2
     pairs_per_sec = pairs / per_iter
     # MXU utilization, anchored to the MACs the kernel actually issues
