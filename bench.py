@@ -102,6 +102,8 @@ def main() -> None:
 
         if os.environ.get("PARFASTAAI_BENCH_APPROX"):
             fn = functools.partial(fn, approx=True)
+        if os.environ.get("PARFASTAAI_BENCH_PRECISE"):
+            fn = functools.partial(fn, precise=True)
         if os.environ.get("PARFASTAAI_BENCH_TILE"):
             tile_override = int(os.environ["PARFASTAAI_BENCH_TILE"])
             fn = functools.partial(fn, tile=tile_override)

@@ -139,17 +139,20 @@ def _jaccard_terms(p, cnt, ta_ref, tb_ref, approx, precise, outer=None):
     # clamping replaces a select (the pipeline is VPU-bound, not MXU-bound).
     denom = jnp.maximum(outer - cf, 1.0)
     if approx:
-        # Raw lookup reciprocal: 1.6e-5 max rel err, fastest (measured
-        # 1037M pairs/s at G=4096 tile=512).
+        # Raw lookup reciprocal: 1.6e-5 max rel err, fastest (1338M pairs/s
+        # at G=4096 tile=512, clean-harness protocol 2026-08-20 — only +2%
+        # over the Newton default, within a few run-to-run sigma; the large
+        # gaps recorded earlier were measured under the r1-r2 bench harness
+        # whose full-tensor perturbation inflated every step).
         j = cf * pl.reciprocal(denom, approx=True)
     elif precise:
-        # IEEE f32 divide: 5.9e-8 (1 ulp), slowest (845M pairs/s) — the
-        # divide dominates this VPU-bound pipeline.
+        # IEEE f32 divide: 5.9e-8 (1 ulp), slowest (1189M pairs/s, same
+        # protocol) — the multi-pass divide is the single largest VPU cost.
         j = cf / denom
     else:
         # Default: one Newton step on the lookup reciprocal — 1.4e-7 max rel
         # err (the f32-divide class, within the fused path's ~1e-7 contract)
-        # at 1016M pairs/s, +20% over the divide.
+        # at 1313-1322M pairs/s, +11% over the IEEE divide.
         r = pl.reciprocal(denom, approx=True)
         r = r * (2.0 - denom * r)
         j = cf * r
@@ -936,7 +939,10 @@ _VMEM_BUDGET = int(14.5 * 1024 * 1024)
 # normalized to tile=1024: 128 -> 308M, 256 -> ~450M (interp), 512 -> 586M,
 # 1024 -> 627M pairs/s.  Bigger tiles cut HBM re-reads (each presence tile is
 # fetched G/tile times); smaller tiles let the symmetric grid skip more
-# lower-triangle work.
+# lower-triangle work.  (Absolute rates here and in the per-kernel docstrings
+# predate the 2026-08-20 bench-harness fix that removed ~1 ms/step of
+# full-tensor perturbation traffic; only the RATIOS feed auto_tile, and those
+# were measured under one protocol, so the model stands.)
 _REL_RATE = {128: 0.49, 256: 0.72, 512: 0.93, 1024: 1.0}
 
 
@@ -1039,8 +1045,10 @@ def pallas_fused_aji(
     upper-triangle tile pairs and mirrors the rest — the result is identical
     because M @ M.T is symmetric.  ``approx`` swaps the exact f32 divide for
     the VPU's approximate reciprocal (~1e-4 relative error on AJI — fine for
-    screening ranks, off by default; measured +23%: 1037M vs 845M pairs/s at
-    G=4096).  ``packed`` stores two presence columns per HBM byte and
+    screening ranks, off by default; measured 2026-08-20 under the clean
+    bench harness: 1338M vs the default's 1313-1322M pairs/s at G=4096 —
+    only +2%, because the default already uses a Newton-refined reciprocal;
+    the IEEE divide it replaces runs 1189M).  ``packed`` stores two presence columns per HBM byte and
     unpacks in-kernel (_pack_nibbles) — counts identical, HBM footprint
     halved; off by default because it is slower (the kernel is VPU-bound;
     see _pack_nibbles).
