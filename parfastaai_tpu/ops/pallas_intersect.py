@@ -307,7 +307,10 @@ def _pallas_sn_sym_2p(
       inside this grid, a length-2 elementwise sum): 1116M pairs/s, within
       session noise of base.  NOT adopted as default: no measurable win,
       and it reassociates s (j0+j1 before accumulate), which would break
-      the bit-for-bit 2p==sym pin in tests.
+      the bit-for-bit 2p==sym pin in tests.  Re-measured 2026-08-20 under
+      the clean bench harness (direct sn calls, no aji divide): base
+      1380/1480M vs fused 1371/1387M over two interleaved A/B passes —
+      fused is neutral-to-slightly-worse; decision stands.
     * 'f32gram' (r3: MXU emits f32 counts, deleting the per-cell int32->f32
       convert): DOES NOT COMPILE — Mosaic requires float lhs for a float
       accumulator; see the _gram docstring for the measured-cost argument

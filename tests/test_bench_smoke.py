@@ -1,0 +1,35 @@
+"""Smoke test for the driver-facing bench entry point.
+
+The round driver runs ``python bench.py`` and parses its single JSON line;
+a bench regression ends the round's perf record, so the kernel-bench main
+is exercised here in-process on the CPU backend (tiny G, XLA impl — the
+Pallas impl needs Mosaic/TPU and is covered by the on-chip runs recorded
+in the module docstrings).
+"""
+
+import importlib
+import json
+import sys
+
+
+def test_bench_kernel_main_prints_one_json_line(monkeypatch, capsys, tmp_path):
+    monkeypatch.setenv("PARFASTAAI_BENCH_G", "64")
+    monkeypatch.setenv("PARFASTAAI_BENCH_IMPL", "xla")
+    monkeypatch.setenv("PARFASTAAI_BENCH_STEPS", "8")
+    monkeypatch.setenv("PARFASTAAI_JIT_CACHE", str(tmp_path / "jit"))
+    sys.path.insert(0, "/root/repo")
+    try:
+        bench = importlib.import_module("bench")
+        bench.main()
+    finally:
+        sys.path.remove("/root/repo")
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert len(lines) == 1, lines
+    rec = json.loads(lines[0])
+    assert rec["unit"] == "pairs/s"
+    assert rec["value"] > 0
+    assert rec["vs_baseline"] > 0
+    assert rec["int8_mac_per_s"] > 0
+    # CPU backend has no spec int8 peak -> mfu must be None, not garbage.
+    assert rec["mfu"] is None
+    assert "G=64" in rec["metric"] and "impl=xla" in rec["metric"]
