@@ -35,7 +35,7 @@ import numpy as np
 
 from .etl.database import PresenceData
 from .modes import PairSpace
-from .ops.fused import fused_aji, fused_sn_block, pair_counts_device
+from .ops.fused import fused_sn, fused_sn_block, pair_counts_device
 from .types import JacResult
 
 
@@ -1318,7 +1318,7 @@ def compute_sharded(
     from .parallel.distributed import gather_to_host
     from .parallel.mesh import (
         make_mesh,
-        sharded_fused_aji,
+        sharded_fused_sn,
         sharded_fused_sn_rect,
     )
 
@@ -1366,7 +1366,7 @@ def compute_sharded(
     if (pp, gp) != (P, G):
         m = np.pad(m, ((0, pp - P), (0, gp - G), (0, 0)))
         t = np.pad(t, ((0, pp - P), (0, gp - G)))
-    _, s_mat, n_mat = sharded_fused_aji(mesh, m, t)
+    s_mat, n_mat = sharded_fused_sn(mesh, m, t)
     s_mat = gather_to_host(s_mat)[:G, :G]
     n_mat = gather_to_host(n_mat)[:G, :G]
     return JacResult(
@@ -1448,7 +1448,7 @@ def compute_fast(
         else:
             s_mat = n_mat = None
             for _, m_b, t_b in bucketize_presence(presence):
-                _, s_b, n_b = fused_aji(upload_presence(m_b), jnp.asarray(t_b))
+                s_b, n_b = fused_sn(upload_presence(m_b), jnp.asarray(t_b))
                 s_mat = s_b if s_mat is None else s_mat + s_b
                 n_mat = n_b if n_mat is None else n_mat + n_b
             if _is_triu_pairs(pairs, G):

@@ -25,16 +25,17 @@ import jax.numpy as jnp
 
 
 @jax.jit
-def fused_aji(m: jax.Array, t: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Full G x G fused AJI on one device.
+def fused_sn(m: jax.Array, t: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Full G x G fused (S, N) on one device — ``fused_aji`` without the
+    final G x G divide.  The engine's accumulation paths (per-bucket sums)
+    only ever need (s, n); materializing the discarded aji costs a G^2 f32
+    divide + 4 G^2 bytes of HBM per call.
 
     Args:
       m: (P, G, K) int8/uint8 presence tensor (compacted tetramer axis).
       t: (P, G) int32 per-protein tetramer counts (rowsums of m).
 
-    Returns:
-      (aji f32 (G, G), s f32 (G, G), n int32 (G, G)).  Diagonal entries are
-      the genome's self-AJI (1.0); callers mask as needed.
+    Returns (s f32 (G, G), n int32 (G, G)).
     """
     m8 = m.astype(jnp.int8)
 
@@ -59,6 +60,22 @@ def fused_aji(m: jax.Array, t: jax.Array) -> tuple[jax.Array, jax.Array, jax.Arr
         jnp.zeros((g, g), jnp.int32),
     )
     (s, n), _ = jax.lax.scan(step, init, (m8, t))
+    return s, n
+
+
+@jax.jit
+def fused_aji(m: jax.Array, t: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Full G x G fused AJI on one device.
+
+    Args:
+      m: (P, G, K) int8/uint8 presence tensor (compacted tetramer axis).
+      t: (P, G) int32 per-protein tetramer counts (rowsums of m).
+
+    Returns:
+      (aji f32 (G, G), s f32 (G, G), n int32 (G, G)).  Diagonal entries are
+      the genome's self-AJI (1.0); callers mask as needed.
+    """
+    s, n = fused_sn(m, t)
     aji = s / n.astype(jnp.float32)
     return aji, s, n
 

@@ -64,7 +64,7 @@ def use_pallas_on_mesh(use_pallas: bool | None = None) -> bool:
 
 
 def _body(m_loc: jax.Array, t_loc: jax.Array, *, band: int,
-          use_pallas: bool = False):
+          use_pallas: bool = False, want_aji: bool = True):
     """Per-device program: local protein slice x full genome axis.
 
     m_loc: (P/scp, G, K) int8 — protein-sharded, genome-replicated.
@@ -116,6 +116,8 @@ def _body(m_loc: jax.Array, t_loc: jax.Array, *, band: int,
         )
     s = jax.lax.psum(s, "scp")
     n = jax.lax.psum(n, "scp")
+    if not want_aji:
+        return s, n
     aji = s / n.astype(jnp.float32)
     return aji, s, n
 
@@ -236,6 +238,31 @@ def sharded_fused_aji(mesh: Mesh, m, t, use_pallas=None):
         mesh=mesh,
         in_specs=(P("scp", None, None), P("scp", None)),
         out_specs=(P("rows", None), P("rows", None), P("rows", None)),
+        check_vma=not use_pallas,
+    )
+    m = jax.device_put(m, NamedSharding(mesh, P("scp", None, None)))
+    t = jax.device_put(t, NamedSharding(mesh, P("scp", None)))
+    return jax.jit(fn)(m, t)
+
+
+def sharded_fused_sn(mesh: Mesh, m, t, use_pallas=None):
+    """``sharded_fused_aji`` without the final row-sharded G x G divide —
+    for callers (engine.compute_fast mesh path) that only consume (s, n);
+    the discarded aji otherwise costs a G^2/rows divide + 4 G^2 bytes of
+    sharded HBM per call.  Same contract otherwise; returns (s, n)."""
+    use_pallas = use_pallas_on_mesh(use_pallas)
+    n_rows = mesh.shape["rows"]
+    g = m.shape[1]
+    if g % n_rows or m.shape[0] % mesh.shape["scp"]:
+        raise ValueError(
+            f"shape {m.shape} not divisible by mesh {dict(mesh.shape)}"
+        )
+    band = g // n_rows
+    fn = shard_map(
+        partial(_body, band=band, use_pallas=use_pallas, want_aji=False),
+        mesh=mesh,
+        in_specs=(P("scp", None, None), P("scp", None)),
+        out_specs=(P("rows", None), P("rows", None)),
         check_vma=not use_pallas,
     )
     m = jax.device_put(m, NamedSharding(mesh, P("scp", None, None)))
