@@ -1,3 +1,3 @@
-from .mesh import make_mesh, sharded_fused_aji
+from .mesh import make_mesh, sharded_fused_aji, sharded_fused_sn
 
-__all__ = ["make_mesh", "sharded_fused_aji"]
+__all__ = ["make_mesh", "sharded_fused_aji", "sharded_fused_sn"]

@@ -57,3 +57,16 @@ def test_mesh_shape_validation():
 def test_make_mesh_too_many_devices():
     with pytest.raises(ValueError):
         make_mesh(16, 2)
+
+
+def test_sharded_fused_sn_matches_aji_variant():
+    """The sn-only entry (engine.compute_sharded's path, which discards
+    aji) must agree exactly with sharded_fused_aji's (s, n) outputs."""
+    m, t = _rand_presence(seed=3)
+    mesh = make_mesh(4, 2)
+    from parfastaai_tpu.parallel.mesh import sharded_fused_sn
+
+    s, n = sharded_fused_sn(mesh, m, t)
+    _, ref_s, ref_n = sharded_fused_aji(mesh, m, t)
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(ref_s))
