@@ -97,6 +97,16 @@ def main() -> None:
     t = m.sum(axis=2, dtype=np.int32)
 
     tile_override = None
+    if os.environ.get("PARFASTAAI_BENCH_APPROX") and os.environ.get(
+        "PARFASTAAI_BENCH_PRECISE"
+    ):
+        # The kernel silently lets approx win; a PRECISE run with a stale
+        # APPROX in the environment would report approx numbers labeled
+        # precise (ADVICE r3).
+        raise SystemExit(
+            "PARFASTAAI_BENCH_APPROX and PARFASTAAI_BENCH_PRECISE are both "
+            "set; unset one (they select mutually exclusive kernel divides)"
+        )
     if impl == "pallas":
         from parfastaai_tpu.ops.pallas_intersect import pallas_fused_aji as fn
 
@@ -126,30 +136,46 @@ def main() -> None:
             ((jnp.arange(md.shape[1]) + salt) % 3 == 0)
             .astype(jnp.int8)[None, :, None]
         )
+        P, _, K = md.shape
 
-        def body(carry, _):
+        def body(carry, step):
             mdl, tdl = carry
             aji, s, n = fn(mdl, tdl)
-            # Data dependency: perturb protein 0's presence slab with the
-            # result.  One slab (G x K int8, ~5 MB) is enough to make every
-            # step's input unique and data-dependent on the previous step's
-            # output; perturbing the full (P, G, K) tensor (the r1-r2
-            # protocol) added ~840 MB/step of harness HBM traffic — ~1 ms on
-            # a 7.4 ms kernel step — that the slope method cannot cancel
-            # because it scales with steps.
-            flip = (n[0, :] % 2).astype(jnp.int8)[:, None]
-            mdl = mdl.at[0].set(mdl[0] ^ flip)
+            # Data dependency: XOR genome 0's row of EVERY protein slab with
+            # a mask derived from the result (plus the step index, so the
+            # mask itself differs per step).  P x K bytes (~100 KB) of
+            # in-place carry update — every one of the P presence slabs is
+            # step-unique and data-dependent on the previous step's output,
+            # so no slab is loop-invariant and nothing can be hoisted,
+            # elided, or replayed (ADVICE r3: the earlier protein-0-only
+            # flip left 79/80 of the tensor value-identical across steps).
+            # The r1-r2 full-tensor XOR gave the same guarantee at ~840
+            # MB/step of harness HBM traffic the slope method cannot cancel.
+            drive = n[0, 0].astype(jnp.int32) + step
+            fl = (
+                (
+                    jax.lax.broadcasted_iota(jnp.int32, (P, K), 0)
+                    + jax.lax.broadcasted_iota(jnp.int32, (P, K), 1)
+                    + drive
+                )
+                % 2
+            ).astype(jnp.int8)
+            row0 = (mdl[:, 0, :] ^ fl)[:, None, :]
+            mdl = jax.lax.dynamic_update_slice(mdl, row0, (0, 0, 0))
             return (mdl, tdl), aji[0, 0]
 
-        (_, _), outs = jax.lax.scan(body, (mdl, td), None, length=steps)
+        (_, _), outs = jax.lax.scan(
+            body, (mdl, td), jnp.arange(steps, dtype=jnp.int32)
+        )
         return outs[-1]
 
     salt_box = [0]
+    reps = int(os.environ.get("PARFASTAAI_BENCH_REPS", "5"))
 
     def timed(steps: int) -> float:
         float(chain(md, td, jnp.int32(salt_box[0]), steps=steps))  # compile
         best = float("inf")
-        for _ in range(3):
+        for _ in range(reps):
             salt_box[0] += 1
             salt = jnp.int32(salt_box[0])
             t0 = time.perf_counter()
@@ -157,14 +183,15 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    # Two independent slope estimates, keep the faster: every noise source
-    # in this environment (relay queueing, variable download latency) only
-    # ever ADDS time, so the minimum per-iter is the least-contaminated
-    # estimate of the kernel's true rate.
-    per_iter = float("inf")
-    for _ in range(2):
-        dt = timed(s_long) - timed(s_short)
-        per_iter = min(per_iter, dt / (s_long - s_short))
+    # One slope from min-of-reps per chain length.  Noise in this
+    # environment (relay queueing, variable download latency) only ever ADDS
+    # time, so the per-chain minimum is the least-contaminated estimate of
+    # each chain's true wall; the slope of the two minima cancels the
+    # constant dispatch/download cost.  (Taking the min of several SLOPES —
+    # the r3 estimator — was biased upward: positive noise in the short
+    # chain inflates a slope's pairs/s, and min-selection systematically
+    # picked those runs; ADVICE r3.)
+    per_iter = (timed(s_long) - timed(s_short)) / (s_long - s_short)
     pairs = g * (g - 1) // 2
     pairs_per_sec = pairs / per_iter
     # MXU utilization, anchored to the MACs the kernel actually issues

@@ -214,6 +214,32 @@ def sharded_fused_sn_rect(mesh: Mesh, ma, mb, ta, tb, use_pallas=None):
     return jax.jit(fn)(ma, mb, ta, tb)
 
 
+def _sharded_fused_square(mesh: Mesh, m, t, use_pallas, want_aji: bool):
+    """Shared body of sharded_fused_aji / sharded_fused_sn: one validation,
+    one shard_map spec set, one device_put path — the two public wrappers
+    differ only in ``want_aji`` (ADVICE r3: duplicated bodies drift)."""
+    use_pallas = use_pallas_on_mesh(use_pallas)
+    n_rows = mesh.shape["rows"]
+    g = m.shape[1]
+    if g % n_rows or m.shape[0] % mesh.shape["scp"]:
+        raise ValueError(
+            f"shape {m.shape} not divisible by mesh {dict(mesh.shape)}"
+        )
+    band = g // n_rows
+    fn = shard_map(
+        partial(_body, band=band, use_pallas=use_pallas, want_aji=want_aji),
+        mesh=mesh,
+        in_specs=(P("scp", None, None), P("scp", None)),
+        out_specs=(P("rows", None),) * (3 if want_aji else 2),
+        # Mosaic's output carries no vma type; the scan fallback keeps the
+        # stricter typed checking.
+        check_vma=not use_pallas,
+    )
+    m = jax.device_put(m, NamedSharding(mesh, P("scp", None, None)))
+    t = jax.device_put(t, NamedSharding(mesh, P("scp", None)))
+    return jax.jit(fn)(m, t)
+
+
 def sharded_fused_aji(mesh: Mesh, m, t, use_pallas=None):
     """Fused AJI over a (rows, scp) mesh.
 
@@ -225,24 +251,7 @@ def sharded_fused_aji(mesh: Mesh, m, t, use_pallas=None):
 
     Returns (aji, s, n), each (G, G), row-sharded over the mesh.
     """
-    use_pallas = use_pallas_on_mesh(use_pallas)
-    n_rows = mesh.shape["rows"]
-    g = m.shape[1]
-    if g % n_rows or m.shape[0] % mesh.shape["scp"]:
-        raise ValueError(
-            f"shape {m.shape} not divisible by mesh {dict(mesh.shape)}"
-        )
-    band = g // n_rows
-    fn = shard_map(
-        partial(_body, band=band, use_pallas=use_pallas),
-        mesh=mesh,
-        in_specs=(P("scp", None, None), P("scp", None)),
-        out_specs=(P("rows", None), P("rows", None), P("rows", None)),
-        check_vma=not use_pallas,
-    )
-    m = jax.device_put(m, NamedSharding(mesh, P("scp", None, None)))
-    t = jax.device_put(t, NamedSharding(mesh, P("scp", None)))
-    return jax.jit(fn)(m, t)
+    return _sharded_fused_square(mesh, m, t, use_pallas, want_aji=True)
 
 
 def sharded_fused_sn(mesh: Mesh, m, t, use_pallas=None):
@@ -250,21 +259,4 @@ def sharded_fused_sn(mesh: Mesh, m, t, use_pallas=None):
     for callers (engine.compute_fast mesh path) that only consume (s, n);
     the discarded aji otherwise costs a G^2/rows divide + 4 G^2 bytes of
     sharded HBM per call.  Same contract otherwise; returns (s, n)."""
-    use_pallas = use_pallas_on_mesh(use_pallas)
-    n_rows = mesh.shape["rows"]
-    g = m.shape[1]
-    if g % n_rows or m.shape[0] % mesh.shape["scp"]:
-        raise ValueError(
-            f"shape {m.shape} not divisible by mesh {dict(mesh.shape)}"
-        )
-    band = g // n_rows
-    fn = shard_map(
-        partial(_body, band=band, use_pallas=use_pallas, want_aji=False),
-        mesh=mesh,
-        in_specs=(P("scp", None, None), P("scp", None)),
-        out_specs=(P("rows", None), P("rows", None)),
-        check_vma=not use_pallas,
-    )
-    m = jax.device_put(m, NamedSharding(mesh, P("scp", None, None)))
-    t = jax.device_put(t, NamedSharding(mesh, P("scp", None)))
-    return jax.jit(fn)(m, t)
+    return _sharded_fused_square(mesh, m, t, use_pallas, want_aji=False)

@@ -9,7 +9,10 @@ in the module docstrings).
 
 import importlib
 import json
+import os
 import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_bench_kernel_main_prints_one_json_line(monkeypatch, capsys, tmp_path):
@@ -17,12 +20,12 @@ def test_bench_kernel_main_prints_one_json_line(monkeypatch, capsys, tmp_path):
     monkeypatch.setenv("PARFASTAAI_BENCH_IMPL", "xla")
     monkeypatch.setenv("PARFASTAAI_BENCH_STEPS", "8")
     monkeypatch.setenv("PARFASTAAI_JIT_CACHE", str(tmp_path / "jit"))
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, REPO_ROOT)
     try:
         bench = importlib.import_module("bench")
         bench.main()
     finally:
-        sys.path.remove("/root/repo")
+        sys.path.remove(REPO_ROOT)
     lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
     assert len(lines) == 1, lines
     rec = json.loads(lines[0])
