@@ -336,12 +336,11 @@ def run(argv: list[str] | None = None) -> int:
                 "--staged stages the presence slabs of the banded device "
                 "engines and requires --fast or --streamed",
             )
-        if args.staged and args.mesh:
+        if args.staged and args.mesh and not args.streamed:
             raise PFAAIError(
                 ErrorCode.CONSTRUCT_ERROR,
-                "--staged is single-device; a mesh shards presence "
-                "capacity over the scp axis instead (drop --staged or "
-                "--mesh)",
+                "--staged with --mesh requires --streamed (the staged-mesh "
+                "slab engine is a streamed-path engine)",
             )
         if (args.approx or args.precise) and not (args.fast or args.streamed):
             # The divide selectors act on the fused Pallas kernel only; the

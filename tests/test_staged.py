@@ -126,13 +126,14 @@ def test_staged_env_zero_forces_resident(subset1_db, monkeypatch):
 
 
 def test_cli_staged_combination_guards(subset1_db, tmp_path):
-    """--staged without --fast/--streamed, or with --mesh, is a
-    CONSTRUCT_ERROR (exit 3) — not a silently ignored flag."""
+    """--staged without --fast/--streamed, or with --mesh but without
+    --streamed, is a CONSTRUCT_ERROR (exit 3) — not a silently ignored
+    flag.  (--staged --streamed --mesh is the staged-mesh path and valid.)"""
     import subprocess
     import sys
 
     out = str(tmp_path / "out.csv")
-    for extra in (["--staged"], ["--staged", "--streamed", "--mesh", "1,1"]):
+    for extra in (["--staged"], ["--staged", "--mesh", "1,1"]):
         r = subprocess.run(
             [sys.executable, "-m", "parfastaai_tpu.cli", "--quiet",
              subset1_db, out] + extra,
@@ -163,3 +164,95 @@ def test_split_plan_bounds_slab_bytes(monkeypatch):
     # Keys (bi, pci) are unique.
     keys = [(bi, pci) for bi, pci, _, _ in out]
     assert len(keys) == len(set(keys))
+
+
+def _mesh(n_rows, n_scp):
+    from parfastaai_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(n_rows, n_scp)
+
+
+def test_staged_mesh_streamed_matches_single_device_staged(
+    subset1_db, tmp_path, monkeypatch
+):
+    """Staged x mesh composition (VERDICT r3 item 1): the streamed-mesh
+    path fed from sharded slab fetches writes a byte-identical CSV to the
+    single-device staged run on an 8-virtual-device CPU mesh."""
+    monkeypatch.setenv("PARFASTAAI_FORCE_DEVICE", "1")
+    meta, pres = _load(subset1_db)
+    g = len(meta.genome_set)
+    ids = np.arange(g, dtype=np.int32)
+    names = meta.genome_set
+
+    monkeypatch.setenv("PARFASTAAI_HBM_BYTES", "1")  # maximal LRU churn
+    single = tmp_path / "single_staged.csv"
+    compute_streamed(
+        pres, ids, ids, str(single), names, names, band=4, col_chunk=3,
+        staged=True,
+    )
+    # scp == 1: same per-chunk protein order per device => byte-identical.
+    meshed = tmp_path / "mesh_staged.csv"
+    compute_streamed(
+        pres, ids, ids, str(meshed), names, names, band=4, col_chunk=3,
+        mesh=_mesh(8, 1), staged=True,
+    )
+    assert meshed.read_bytes() == single.read_bytes()
+    # scp > 1 splits each slab's protein scan across devices (psum merge),
+    # reassociating the f32 sum — the fused paths' documented ~1e-7
+    # contract, same as the resident mesh branch.
+    meshed2 = tmp_path / "mesh_staged_scp2.csv"
+    compute_streamed(
+        pres, ids, ids, str(meshed2), names, names, band=4, col_chunk=3,
+        mesh=_mesh(4, 2), staged=True,
+    )
+    got = np.genfromtxt(meshed2, delimiter=",", skip_header=1,
+                        usecols=range(1, g + 1))
+    want = np.genfromtxt(single, delimiter=",", skip_header=1,
+                         usecols=range(1, g + 1))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_staged_mesh_qt_denominators(subset1_db, subset2_db, tmp_path,
+                                     monkeypatch):
+    """Staged-mesh honors per-axis denominator columns (two-DB compat
+    T-swap): CSV equals the single-device staged streamed CSV."""
+    monkeypatch.setenv("PARFASTAAI_FORCE_DEVICE", "1")
+    from parfastaai_tpu.etl.database import QueryTargetDatabase
+    from parfastaai_tpu.modes import query_target_axes
+
+    db = QueryTargetDatabase(subset1_db, subset2_db)
+    pres = db.load_presence()
+    db.close()
+    ax = query_target_axes(db.meta)
+    monkeypatch.setenv("PARFASTAAI_HBM_BYTES", "1")
+    single = tmp_path / "qt_single.csv"
+    compute_streamed(
+        pres, ax.row_db_ids, ax.col_db_ids, str(single), ax.query_names,
+        ax.target_names, band=2, col_chunk=3, staged=True,
+        row_denom_ids=ax.row_denom_ids, col_denom_ids=ax.col_denom_ids,
+    )
+    meshed = tmp_path / "qt_mesh.csv"
+    compute_streamed(
+        pres, ax.row_db_ids, ax.col_db_ids, str(meshed), ax.query_names,
+        ax.target_names, band=2, col_chunk=3, staged=True,
+        mesh=_mesh(2, 1),
+        row_denom_ids=ax.row_denom_ids, col_denom_ids=ax.col_denom_ids,
+    )
+    assert meshed.read_bytes() == single.read_bytes()
+
+
+def test_use_staged_mesh_scales_budget_with_scp(subset1_db, monkeypatch):
+    """Auto staging on a mesh triggers against the scp-sharded per-device
+    residency, not the whole-tensor figure."""
+    from parfastaai_tpu.engine import _use_staged_mesh
+
+    _, pres = _load(subset1_db)
+    per_dev = presence_device_bytes(pres)
+    # Budget between total/4 and total: single-device would stage, a 4-way
+    # scp mesh would not.
+    monkeypatch.setenv("PARFASTAAI_HBM_BYTES", str(per_dev // 2))
+    assert _use_staged_mesh(pres, n_scp=1) is True
+    assert _use_staged_mesh(pres, n_scp=4) is False
+    # Explicit always wins.
+    assert _use_staged_mesh(pres, n_scp=1, staged=False) is False
+    assert _use_staged_mesh(pres, n_scp=4, staged=True) is True
