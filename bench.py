@@ -89,6 +89,8 @@ def main() -> None:
     g = int(os.environ.get("PARFASTAAI_BENCH_G", "4096"))
     s_long = int(os.environ.get("PARFASTAAI_BENCH_STEPS", "16"))
     s_short = max(4, s_long // 8)
+    if s_short >= s_long:  # degenerate STEPS: keep the slope well-defined
+        s_short = max(1, s_long // 2)
     impl = os.environ.get("PARFASTAAI_BENCH_IMPL", "pallas")
     P, pool, tpg = 80, 1280, 400  # pool padded 1200 -> 1280 (lane multiple)
 
@@ -225,6 +227,220 @@ def main() -> None:
     )
 
 
+def _bench_jit_cache(jax) -> None:
+    cache_dir = os.environ.get(
+        "PARFASTAAI_JIT_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "parfastaai_tpu_jit"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+def main_mesh() -> None:
+    """Mesh-scaling bench (PARFASTAAI_BENCH_MODE=mesh, VERDICT r3 item 5):
+    sweep mesh shapes over the available devices and emit pairs/s/chip and
+    scaling efficiency per shape — the measurement harness for
+    BASELINE.json's ">=0.8 scaling efficiency at N hosts" target.
+
+    Per shape, the timed program is the PRODUCTION mesh step (parallel.mesh
+    _body under shard_map: per-device row band x full column side, psum over
+    scp), driven by the same salted data-dependent chain protocol as the
+    single-chip bench.  A 'direct' leg times the identical per-device
+    kernel with no mesh wrapper — on a 1-device slice the (1,1) shape must
+    reproduce it within noise (the r3 measured mesh==direct parity,
+    mesh.py:20-25).  Efficiency is per-chip rate relative to the (1, 1)
+    mesh (cells/s; the mesh path computes the full G x G square by design,
+    so shapes are compared like-for-like).
+
+    On this environment the real slice has one chip (shapes collapse to
+    (1,1) + direct); on an N-chip slice the same command produces the full
+    curve with no code changes.  The 8-virtual-device CPU mesh covers the
+    harness itself in tests."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as Spec
+
+    _bench_jit_cache(jax)
+    g = int(os.environ.get("PARFASTAAI_BENCH_G", "4096"))
+    s_long = int(os.environ.get("PARFASTAAI_BENCH_STEPS", "16"))
+    s_short = max(4, s_long // 8)
+    if s_short >= s_long:  # degenerate STEPS: keep the slope well-defined
+        s_short = max(1, s_long // 2)
+    reps = int(os.environ.get("PARFASTAAI_BENCH_REPS", "5"))
+    P, pool, tpg = 80, 1280, 400
+
+    rng = np.random.default_rng(0)
+    m = (rng.random((P, g, pool)) < (tpg / pool)).astype(np.int8)
+    t = m.sum(axis=2, dtype=np.int32)
+
+    from parfastaai_tpu.engine import upload_presence, upload_presence_sharded
+    from parfastaai_tpu.ops.pallas_intersect import (
+        pallas_fused_sn_block,
+        use_pallas_default,
+    )
+    from parfastaai_tpu.parallel.mesh import _body, make_mesh
+
+    use_pallas = use_pallas_default()
+    ndev = jax.device_count()
+    shapes = []
+    n = 1
+    while n <= ndev and g % n == 0:
+        shapes.append((n, 1))
+        n *= 2
+    if ndev >= 4 and g % (ndev // 2) == 0 and P % 2 == 0:
+        shapes.append((ndev // 2, 2))
+
+    salt_box = [0]
+
+    def make_chain(step_fn, md, td):
+        @functools.partial(jax.jit, static_argnames="steps")
+        def chain(md, td, salt, steps):
+            mdl = md ^ (
+                ((jnp.arange(g) + salt) % 3 == 0)
+                .astype(jnp.int8)[None, :, None]
+            )
+
+            def body(carry, step):
+                mdl, tdl = carry
+                s, n = step_fn(mdl, tdl)
+                drive = n[0, 0].astype(jnp.int32) + step
+                fl = (
+                    (
+                        jax.lax.broadcasted_iota(jnp.int32, (P, pool), 0)
+                        + jax.lax.broadcasted_iota(jnp.int32, (P, pool), 1)
+                        + drive
+                    )
+                    % 2
+                ).astype(jnp.int8)
+                row0 = (mdl[:, 0, :] ^ fl)[:, None, :]
+                mdl = jax.lax.dynamic_update_slice(mdl, row0, (0, 0, 0))
+                return (mdl, tdl), s[0, 0]
+
+            (_, _), outs = jax.lax.scan(
+                body, (mdl, td), jnp.arange(steps, dtype=jnp.int32)
+            )
+            return outs[-1]
+
+        def timed(steps: int) -> float:
+            float(chain(md, td, jnp.int32(salt_box[0]), steps=steps))
+            best = float("inf")
+            for _ in range(reps):
+                salt_box[0] += 1
+                t0 = time.perf_counter()
+                float(chain(md, td, jnp.int32(salt_box[0]), steps=steps))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return (timed(s_long) - timed(s_short)) / (s_long - s_short)
+
+    cells = g * g  # full-square cells per step (the mesh path's work unit)
+    results = []
+
+    # Direct leg: the identical per-device kernel, no mesh wrapper.
+    md = upload_presence(m)
+    td = jax.device_put(jnp.asarray(t))
+    per_iter = make_chain(
+        lambda a, b: pallas_fused_sn_block(a, a, b, b)
+        if use_pallas
+        else _xla_square_sn(a, b),
+        md,
+        td,
+    )
+    direct_rate = cells / per_iter
+    del md, td
+
+    base_per_chip = None
+    for n_rows, n_scp in shapes:
+        mesh = make_mesh(n_rows, n_scp)
+        band = g // n_rows
+        fn = shard_map(
+            functools.partial(
+                _body, band=band, use_pallas=use_pallas, want_aji=False
+            ),
+            mesh=mesh,
+            in_specs=(Spec("scp", None, None), Spec("scp", None)),
+            out_specs=(Spec("rows", None), Spec("rows", None)),
+            check_vma=not use_pallas,
+        )
+        md = upload_presence_sharded(
+            m, NamedSharding(mesh, Spec("scp", None, None))
+        )
+        td = jax.device_put(
+            jnp.asarray(t), NamedSharding(mesh, Spec("scp", None))
+        )
+        per_iter = make_chain(fn, md, td)
+        nchips = n_rows * n_scp
+        rate = cells / per_iter
+        per_chip = rate / nchips
+        if base_per_chip is None:
+            base_per_chip = per_chip
+        results.append(
+            {
+                "mesh": f"{n_rows}x{n_scp}",
+                "chips": nchips,
+                "pairs_per_sec": round(rate, 1),
+                "pairs_per_sec_per_chip": round(per_chip, 1),
+                "efficiency_vs_1chip": round(per_chip / base_per_chip, 4),
+            }
+        )
+        del md, td
+
+    dev = jax.devices()[0]
+    best = max(results, key=lambda r: r["pairs_per_sec"])
+    print(
+        json.dumps(
+            {
+                "metric": "mesh scaling: full-square fused S/N cells/s "
+                "(G=%d P=%d K=%d, %d device(s))" % (g, P, pool, ndev),
+                "value": best["pairs_per_sec"],
+                "unit": "pairs/s",
+                "vs_baseline": round(
+                    best["pairs_per_sec"] / BASELINE_PAIRS_PER_SEC, 1
+                ),
+                "direct_pairs_per_sec": round(direct_rate, 1),
+                "mesh_vs_direct_1chip": round(
+                    results[0]["pairs_per_sec"] / direct_rate, 4
+                ),
+                "shapes": results,
+                "device_kind": dev.device_kind,
+            }
+        )
+    )
+
+
+def _xla_square_sn(m, t):
+    """CPU fallback for the mesh bench's direct leg: same math as the mesh
+    body's scan fallback, single device."""
+    import jax
+    import jax.numpy as jnp
+
+    def step(carry, inputs):
+        s, n = carry
+        mp, tp = inputs
+        cnt = jax.lax.dot_general(
+            mp, mp, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        shared = cnt > 0
+        denom = jnp.maximum(
+            tp[:, None] + tp[None, :] - cnt, 1
+        ).astype(jnp.float32)
+        return (s + cnt.astype(jnp.float32) / denom,
+                n + shared.astype(jnp.int32)), None
+
+    gg = m.shape[1]
+    init = (jnp.zeros((gg, gg), jnp.float32), jnp.zeros((gg, gg), jnp.int32))
+    (s, n), _ = jax.lax.scan(step, init, (m.astype(jnp.int8), t))
+    return s, n
+
+
 def main_e2e() -> None:
     """End-to-end pipeline wall: SQLite DB -> ETL -> device -> CSV.
 
@@ -328,7 +544,10 @@ def main_e2e() -> None:
 
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    if os.environ.get("PARFASTAAI_BENCH_MODE") == "e2e":
+    mode = os.environ.get("PARFASTAAI_BENCH_MODE")
+    if mode == "e2e":
         main_e2e()
+    elif mode == "mesh":
+        main_mesh()
     else:
         main()

@@ -1517,7 +1517,22 @@ def compute_streamed_exact(
     copy is already in flight), runs the native OpenMP f64 finish and the
     CSV format/write (both release the GIL).  Device compute, wire transfer,
     host f64 math, and file IO all overlap; result order is preserved
-    because the queue is FIFO and one worker consumes it.
+    because the queue is FIFO and one worker consumes it.  Measured A/B at
+    G=4096 (2026-08-20, same session): serial 126.7/165.3 s vs pipelined
+    118.6/120.2 s — the pipeline runs at the wire floor (~2.7 GB of count
+    downloads at ~23 MB/s) and absorbs its variance; the host-side stages it
+    hides (~8 s) are the whole residual on this tunnel-bound host.
+
+    Symmetric (all-vs-all) runs additionally compute ONLY the
+    diagonal-and-above blocks: intersection counts are symmetric, so each
+    below-diagonal block's finished f64 AJI tile is the transpose of an
+    above-diagonal tile the worker already produced (held in a mirror store,
+    popped at its single use).  This halves both the device MACs and the
+    count-download bytes — the dominant cost at any scale — with bit-identical
+    results (same integer counts, same per-cell f64 operation order).
+    Engages when rows == cols (ids and denominators), no resume rows exist,
+    and the peak mirror footprint (~2 * G^2 bytes) fits
+    PARFASTAAI_MIRROR_BYTES (default 4 GiB; G ~ 23k at the default band).
     """
     import queue as _queue
     import sys
@@ -1565,6 +1580,26 @@ def compute_streamed_exact(
 
     header = separator + separator.join(col_names) + "\n"
     rows_done = _resume_point(out_path, header, band) if resume else 0
+    # Symmetric-reuse resolution (see docstring): square blocks so each
+    # below-diagonal block is exactly the transpose of a stored tile.
+    sym = (
+        rows_done == 0
+        and len(row_ids) == len(col_ids)
+        and np.array_equal(row_ids, col_ids)
+        and np.array_equal(row_denom_ids, col_denom_ids)
+    )
+    if sym:
+        import os as _os
+
+        col_chunk = band
+        n_ch = -(-len(col_ids) // band)
+        # Peak live mirror tiles = max_i (i+1)(n-1-i) ~ n^2/4 f64 tiles.
+        peak = ((n_ch * n_ch) // 4 + 1) * band * band * 8
+        budget = int(
+            float(_os.environ.get("PARFASTAAI_MIRROR_BYTES", 4 << 30))
+        )
+        if peak > budget:
+            sym = False
     fp = open(out_path, "a" if rows_done else "w")
 
     # Worker (stage 2): per queued block, materialize counts, f64-finish,
@@ -1579,6 +1614,7 @@ def compute_streamed_exact(
             cur_r0 = -1
             cur_rids: np.ndarray | None = None
             rows_aji: np.ndarray | None = None
+            mirror: dict[tuple[int, int], np.ndarray] = {}
 
             def flush() -> None:
                 nonlocal rows_aji
@@ -1595,13 +1631,19 @@ def compute_streamed_exact(
                 if item is None:
                     flush()
                     return
-                r0, rids, drids, c0, nc, dcids, payload = item
+                r0, rids, drids, c0, nc, dcids, kind, data = item
                 if r0 != cur_r0:
                     flush()
                     cur_r0, cur_rids = r0, rids
                     rows_aji = np.empty(
                         (len(rids), len(col_ids)), dtype=np.float64
                     )
+                if kind == "mirror":
+                    # Transpose of an above-diagonal tile finished earlier
+                    # (FIFO guarantees it exists); each tile mirrors once.
+                    rows_aji[:, c0 : c0 + nc] = mirror.pop(data).T
+                    continue
+                payload, store_key = data
                 nr = len(rids)
                 if isinstance(payload, np.ndarray):
                     counts = payload
@@ -1612,7 +1654,10 @@ def compute_streamed_exact(
                         counts[idx] = np.asarray(dev)[:, :nr, :nc]
                 s, n = jaccard_finish_block(counts, t[:, drids], t[:, dcids])
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    rows_aji[:, c0 : c0 + nc] = s / n  # 0/0 -> nan (parity)
+                    blk = s / n  # 0/0 -> nan (parity)
+                rows_aji[:, c0 : c0 + nc] = blk
+                if store_key is not None:
+                    mirror[store_key] = blk
         except BaseException as exc:  # surfaced to the producer after join
             werr.append(exc)
             while work_q.get() is not None:  # keep the producer unblocked
@@ -1625,7 +1670,7 @@ def compute_streamed_exact(
         if not rows_done:
             fp.write(header)
         worker.start()
-        for r0 in range(rows_done, len(row_ids), band):
+        for bi, r0 in enumerate(range(rows_done, len(row_ids), band)):
             rids = row_ids[r0 : r0 + band]
             drids = row_denom_ids[r0 : r0 + band]
             nr = len(rids)
@@ -1633,10 +1678,19 @@ def compute_streamed_exact(
             # Chunk-invariant row operand: convert once per band, not once
             # per column chunk.
             ma = presence.m[:, rids].astype(np.float64) if use_host else None
-            for c0 in range(0, len(col_ids), col_chunk):
+            for ci, c0 in enumerate(range(0, len(col_ids), col_chunk)):
                 cids = col_ids[c0 : c0 + col_chunk]
                 dcids = col_denom_ids[c0 : c0 + col_chunk]
                 nc = len(cids)
+                if sym and ci < bi:
+                    # Below the diagonal: no device work, no download — the
+                    # worker mirrors the stored (ci, bi) tile.
+                    work_q.put(
+                        (r0, rids, drids, c0, nc, dcids, "mirror", (ci, bi))
+                    )
+                    if werr:
+                        break
+                    continue
                 if use_host:
                     mb = presence.m[:, cids].astype(np.float64)
                     payload = np.rint(ma @ mb.transpose(0, 2, 1)).astype(
@@ -1648,7 +1702,11 @@ def compute_streamed_exact(
                     for _, dev in payload:
                         if hasattr(dev, "copy_to_host_async"):
                             dev.copy_to_host_async()
-                work_q.put((r0, rids, drids, c0, nc, dcids, payload))
+                store_key = (bi, ci) if sym and ci > bi else None
+                work_q.put(
+                    (r0, rids, drids, c0, nc, dcids, "counts",
+                     (payload, store_key))
+                )
                 if werr:
                     break
             if werr:

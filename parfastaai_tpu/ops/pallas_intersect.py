@@ -190,6 +190,53 @@ def _kernel(ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, *, approx=False,
                 packed, precise)
 
 
+def _sym_kernel_2p_lean(
+    rows_ref, cols_ref, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, *,
+    approx=False, precise=False, counts_only=False,
+):
+    """r4 VPU-trim EXPERIMENT body (VERDICT r3 item 4): two per-cell VPU ops
+    deleted from the transform, bit-identical results by construction:
+
+    * the denominator clamp ``max(outer - cf, 1)`` is dropped — the caller
+      pre-clamps T to >= 1 (``jnp.maximum(t, 1)``), so cnt == 0 cells divide
+      by ta'+tb' >= 2 (0/x == 0 exactly) and cnt > 0 cells are untouched
+      (both genomes then have real T >= cnt >= 1, where the clamp was
+      already an identity);
+    * ``n += (cnt > 0).astype(i32)`` (compare + select) becomes
+      ``n += min(cnt, 1)`` (one VPU op).
+
+    ``counts_only`` strips the transform to one convert+add per cell — the
+    empirical VPU floor used to separate MXU/DMA time from transform time
+    in the cycle budget (not a production mode; its S output is garbage)."""
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _():
+        s_ref[:] = jnp.zeros_like(s_ref)
+        n_ref[:] = jnp.zeros_like(n_ref)
+
+    cnt0 = _gram(ma_ref[0], mb_ref[0], False)
+    cnt1 = _gram(ma_ref[1], mb_ref[1], False)
+    if counts_only:
+        s_ref[:] += cnt0.astype(jnp.float32) + cnt1.astype(jnp.float32)
+        return
+    for p_i, cnt in ((2 * p, cnt0), (2 * p + 1, cnt1)):
+        cf = cnt.astype(jnp.float32)
+        ta = ta_ref[pl.ds(p_i, 1), :]
+        tb = tb_ref[pl.ds(p_i, 1), :]
+        denom = (ta[0][:, None] + tb[0][None, :]) - cf  # T pre-clamped >= 1
+        if approx:
+            j = cf * pl.reciprocal(denom, approx=True)
+        elif precise:
+            j = cf / denom
+        else:
+            r = pl.reciprocal(denom, approx=True)
+            r = r * (2.0 - denom * r)
+            j = cf * r
+        s_ref[:] += j
+        n_ref[:] += jnp.minimum(cnt, 1)
+
+
 def _sym_kernel_2p(
     rows_ref, cols_ref, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, *,
     approx=False, precise=False, f32gram=False,
@@ -279,7 +326,7 @@ def _sym_kernel_2p_fused(
 )
 def _pallas_sn_sym_2p(
     m: jax.Array, t: jax.Array, tile: int, approx: bool = False,
-    precise: bool = False, variant: str = "base",
+    precise: bool = False, variant: str = "lean",
 ) -> tuple[jax.Array, jax.Array]:
     """_pallas_sn_sym with two proteins per grid step (P padded to even;
     an all-zero protein is inert: cnt == 0 -> j == 0, n += 0).
@@ -322,7 +369,22 @@ def _pallas_sn_sym_2p(
       precision=HIGHEST, whose multi-pass emulation costs far more than
       the VPU broadcast-adds it frees.  The MXU-N idea is a dead end in
       this kernel: N's update is elementwise per cell, and the only
-      MXU-shaped piece (the outer sum) loses on precision grounds."""
+      MXU-shaped piece (the outer sum) loses on precision grounds.
+    * 'lean' (r4 DEFAULT, VERDICT r3 item 4): two per-cell VPU ops deleted
+      with bit-identical results (pre-clamped T replaces the denominator
+      max; min(cnt, 1) replaces the compare+select N update — see
+      _sym_kernel_2p_lean).  Measured 2026-08-20, unbiased
+      min-of-reps-per-chain estimator, interleaved A/B at G=4096 K=1280
+      tile=512: base 6.345/6.323 ms/iter (1.322/1.326G pairs/s, MFU
+      0.773/0.776) vs lean 6.284/6.269 ms (1.335/1.338G, MFU 0.781/0.783)
+      — a consistent +1%, matching the cycle-budget prediction that only
+      ~half the transform's VPU time is exposed (docs/DESIGN.md §6.1).
+    * 'counts' (diagnostic, NOT a production mode): transform stripped to
+      one convert+add per cell — 5.702 ms, MFU 0.860.  This is the
+      empirical ceiling of the grid/DMA/MXU machinery with near-zero VPU
+      work; the gap from lean's 0.78 to 0.86 is the exposed cost of the
+      ~9 genuinely required transform ops, so ~0.78 is certified as the
+      practical ceiling of this kernel family (docs/DESIGN.md §6.1)."""
     P, G, K = m.shape
     m = m.astype(jnp.int8)
     if P % 2:
@@ -351,11 +413,21 @@ def _pallas_sn_sym_2p(
             _sym_kernel_2p, approx=approx, precise=precise,
             f32gram=(variant == "f32gram"),
         )
+    elif variant in ("lean", "counts"):  # see _sym_kernel_2p_lean
+        kernel = functools.partial(
+            _sym_kernel_2p_lean, approx=approx, precise=precise,
+            counts_only=(variant == "counts"),
+        )
     else:  # "fused" / "mxu_outer": see _sym_kernel_2p_fused
         kernel = functools.partial(
             _sym_kernel_2p_fused, approx=approx, precise=precise,
             mxu_outer=(variant == "mxu_outer"),
         )
+    # The lean family drops the in-kernel denominator clamp; T pre-clamped
+    # to >= 1 makes that exact (see _sym_kernel_2p_lean).
+    tf = (
+        jnp.maximum(t, 1) if variant in ("lean", "counts") else t
+    ).astype(jnp.float32)
     s, n = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -373,8 +445,8 @@ def _pallas_sn_sym_2p(
         jnp.asarray(cols, jnp.int32),
         m,
         m,
-        t.astype(jnp.float32),
-        t.astype(jnp.float32),
+        tf,
+        tf,
     )
     upper = (jnp.arange(G)[:, None] // tile) <= (jnp.arange(G)[None, :] // tile)
     s = jnp.where(upper, s, s.T)

@@ -36,3 +36,39 @@ def test_bench_kernel_main_prints_one_json_line(monkeypatch, capsys, tmp_path):
     # CPU backend has no spec int8 peak -> mfu must be None, not garbage.
     assert rec["mfu"] is None
     assert "G=64" in rec["metric"] and "impl=xla" in rec["metric"]
+
+
+def test_bench_mesh_mode_prints_curve(monkeypatch, capsys, tmp_path):
+    """PARFASTAAI_BENCH_MODE=mesh sweeps mesh shapes over the 8 virtual CPU
+    devices and emits pairs/s/chip + efficiency per shape — the harness
+    that makes BASELINE.json's scaling-efficiency target measurable the day
+    an N-chip slice exists (VERDICT r3 item 5)."""
+    monkeypatch.setenv("PARFASTAAI_BENCH_G", "32")
+    monkeypatch.setenv("PARFASTAAI_BENCH_STEPS", "8")
+    monkeypatch.setenv("PARFASTAAI_BENCH_REPS", "2")
+    monkeypatch.setenv("PARFASTAAI_JIT_CACHE", str(tmp_path / "jit"))
+    sys.path.insert(0, REPO_ROOT)
+    try:
+        bench = importlib.import_module("bench")
+        bench.main_mesh()
+    finally:
+        sys.path.remove(REPO_ROOT)
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert len(lines) == 1, lines
+    rec = json.loads(lines[0])
+    assert rec["unit"] == "pairs/s"
+    shapes = rec["shapes"]
+    # 8 virtual devices: (1,1), (2,1), (4,1), (8,1), (4,2).
+    assert [s["mesh"] for s in shapes] == ["1x1", "2x1", "4x1", "8x1", "4x2"]
+    assert shapes[0]["efficiency_vs_1chip"] == 1.0
+    # CPU wall-clock noise at toy G can flip a tiny slope's sign, so the
+    # smoke test pins structure (every shape measured, fields present and
+    # finite) rather than magnitudes — magnitudes are a hardware claim.
+    import math
+
+    for s in shapes:
+        assert s["chips"] >= 1
+        assert math.isfinite(s["pairs_per_sec"]) and s["pairs_per_sec"] != 0
+        assert math.isfinite(s["efficiency_vs_1chip"])
+    assert math.isfinite(rec["direct_pairs_per_sec"])
+    assert math.isfinite(rec["mesh_vs_direct_1chip"])

@@ -165,3 +165,36 @@ def test_nan_semantics_match_exact_path(tmp_path):
     assert b"nan" in ref  # sanity: the case is actually exercised
     got = _banded_csv(tmp_path, pres, all_vs_all_axes(meta), "nan", band=1)
     assert got == ref
+
+
+def test_symmetric_mirror_reuse_byte_identical(
+    subset1_db, tmp_path, monkeypatch
+):
+    """All-vs-all banded exact runs compute only diagonal-and-above blocks
+    and mirror the rest (r4): bytes must equal the full-square walk
+    (PARFASTAAI_MIRROR_BYTES=1 disables the reuse) at awkward band sizes."""
+    import numpy as np
+
+    from parfastaai_tpu.engine import compute_streamed_exact
+    from parfastaai_tpu.etl.database import SCPDatabase
+
+    db = SCPDatabase(subset1_db)
+    pres = db.load_presence()
+    db.close()
+    g = len(db.meta.genome_set)
+    ids = np.arange(g, dtype=np.int32)
+    names = db.meta.genome_set
+    for band in (1, 3):  # band 3 leaves a short trailing band at g=4
+        mirrored = tmp_path / f"sym{band}.csv"
+        compute_streamed_exact(
+            pres, ids, ids, str(mirrored), names, names, band=band,
+            col_chunk=2 * band,  # sym forces col_chunk = band internally
+        )
+        monkeypatch.setenv("PARFASTAAI_MIRROR_BYTES", "1")
+        full = tmp_path / f"full{band}.csv"
+        compute_streamed_exact(
+            pres, ids, ids, str(full), names, names, band=band,
+            col_chunk=band,
+        )
+        monkeypatch.delenv("PARFASTAAI_MIRROR_BYTES")
+        assert mirrored.read_bytes() == full.read_bytes()

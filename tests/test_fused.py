@@ -325,9 +325,15 @@ def test_pallas_two_proteins_per_step_matches():
         md, td = jnp.asarray(m), jnp.asarray(t)
         with pltpu.force_tpu_interpret_mode():
             ref_s, ref_n = _pallas_sn_sym(md, td, tile=128)
+            # Default variant is 'lean' (r4): the pre-clamped-T / min-based
+            # body must stay bit-identical to both the base 2p body and the
+            # one-protein triu kernel.
             s, n = _pallas_sn_sym_2p(md, td, tile=128)
+            s_b, n_b = _pallas_sn_sym_2p(md, td, tile=128, variant="base")
         np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
         np.testing.assert_array_equal(np.asarray(s), np.asarray(ref_s))
+        np.testing.assert_array_equal(np.asarray(n_b), np.asarray(ref_n))
+        np.testing.assert_array_equal(np.asarray(s_b), np.asarray(ref_s))
 
 
 def test_pallas_band_decomposition_matches_full():
