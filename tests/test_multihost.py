@@ -76,8 +76,12 @@ def _run_single(cli_args, timeout=240):
     [
         ["--mesh", "4,2"],
         ["--streamed", "--mesh", "4,2", "--band", "4", "--col-chunk", "5"],
+        # Staged-mesh: sharded slab fetches across 2 real processes (the
+        # pod-scale capacity path, engine._staged_mesh_block_engine).
+        ["--streamed", "--mesh", "4,2", "--staged", "--band", "4",
+         "--col-chunk", "5"],
     ],
-    ids=["mesh", "streamed_mesh"],
+    ids=["mesh", "streamed_mesh", "staged_mesh"],
 )
 def test_two_process_matches_single(combo12_db, tmp_path, mode_args):
     two = tmp_path / "two.csv"
