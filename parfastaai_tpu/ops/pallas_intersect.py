@@ -190,6 +190,25 @@ def _kernel(ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, *, approx=False,
                 packed, precise)
 
 
+def _lean_update(p_i, cnt, ta_ref, tb_ref, s_ref, n_ref, approx, precise):
+    """One protein's lean Jaccard update (see _sym_kernel_2p_lean: caller
+    pre-clamps T >= 1, so no denominator clamp; min(cnt, 1) for N)."""
+    cf = cnt.astype(jnp.float32)
+    ta = ta_ref[pl.ds(p_i, 1), :]
+    tb = tb_ref[pl.ds(p_i, 1), :]
+    denom = (ta[0][:, None] + tb[0][None, :]) - cf
+    if approx:
+        j = cf * pl.reciprocal(denom, approx=True)
+    elif precise:
+        j = cf / denom
+    else:
+        r = pl.reciprocal(denom, approx=True)
+        r = r * (2.0 - denom * r)
+        j = cf * r
+    s_ref[:] += j
+    n_ref[:] += jnp.minimum(cnt, 1)
+
+
 def _sym_kernel_2p_lean(
     rows_ref, cols_ref, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, *,
     approx=False, precise=False, counts_only=False,
@@ -221,20 +240,7 @@ def _sym_kernel_2p_lean(
         s_ref[:] += cnt0.astype(jnp.float32) + cnt1.astype(jnp.float32)
         return
     for p_i, cnt in ((2 * p, cnt0), (2 * p + 1, cnt1)):
-        cf = cnt.astype(jnp.float32)
-        ta = ta_ref[pl.ds(p_i, 1), :]
-        tb = tb_ref[pl.ds(p_i, 1), :]
-        denom = (ta[0][:, None] + tb[0][None, :]) - cf  # T pre-clamped >= 1
-        if approx:
-            j = cf * pl.reciprocal(denom, approx=True)
-        elif precise:
-            j = cf / denom
-        else:
-            r = pl.reciprocal(denom, approx=True)
-            r = r * (2.0 - denom * r)
-            j = cf * r
-        s_ref[:] += j
-        n_ref[:] += jnp.minimum(cnt, 1)
+        _lean_update(p_i, cnt, ta_ref, tb_ref, s_ref, n_ref, approx, precise)
 
 
 def _sym_kernel_2p(
@@ -910,6 +916,103 @@ def _pallas_sn_sym_bands(
         )(m, m, tf, tf)
         s = jax.lax.dynamic_update_slice(s, sb, (r * tile, r * tile))
         n = jax.lax.dynamic_update_slice(n, nb, (r * tile, r * tile))
+    upper = (jnp.arange(G)[:, None] // tile) <= (jnp.arange(G)[None, :] // tile)
+    s = jnp.where(upper, s, s.T)
+    n = jnp.where(upper, n, n.T)
+    return s, n
+
+
+def _band_kernel_2p_lean(
+    ma_ref, mb_ref, ta_ref, tb_ref, s_prev, n_prev, s_ref, n_ref, *,
+    approx=False, precise=False,
+):
+    """Band-grid 2p lean body: s_prev/n_prev are the ALIASED whole-(G, G)
+    carries (memory_space=ANY, never read) — earlier bands' tiles pass
+    through physically; this band's tiles initialize at p == 0."""
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _():
+        s_ref[:] = jnp.zeros_like(s_ref)
+        n_ref[:] = jnp.zeros_like(n_ref)
+
+    cnt0 = _gram(ma_ref[0], mb_ref[0], False)
+    cnt1 = _gram(ma_ref[1], mb_ref[1], False)
+    _lean_update(2 * p, cnt0, ta_ref, tb_ref, s_ref, n_ref, approx, precise)
+    _lean_update(
+        2 * p + 1, cnt1, ta_ref, tb_ref, s_ref, n_ref, approx, precise
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "approx", "precise"))
+def _pallas_sn_sym_bands_2p(
+    m: jax.Array, t: jax.Array, tile: int, approx: bool = False,
+    precise: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """EXPERIMENT (r4, VERDICT r3 item 4 follow-through): the 2p lean body
+    over PLAIN AFFINE band grids with IN-PLACE aliased outputs.
+
+    Motivation from the cycle budget (docs/DESIGN.md §6.1): the counts-only
+    probe pins 0.55 µs/step of machinery overhead on the scalar-prefetch
+    triu grid; the r2 bands experiment showed affine grid steps run ~23%
+    faster than prefetch steps (2.20 vs 2.86 µs in the 1p family) but its
+    (G, G) dynamic_update_slice stitching ate the win.  Here the stitch is
+    deleted: each band call ALIASES the accumulated (G, G) s/n buffers
+    (input_output_aliases), writing its band row in place — nt pallas
+    calls inside one jit, no copies.
+
+    MEASURED 2026-08-20 (G=4096 K=1280 tile=512, salted chains, unbiased
+    estimator, two interleaved passes): bands 6.194/6.263 ms/iter vs
+    prefetch 6.225/6.053 — a WASH inside the session's ±3% variance (the
+    prefetch kernel itself spanned 6.05-6.23 across passes).  Deleting the
+    stitch removed the r2 bands-experiment's known cost, but the per-band
+    pipeline warm-up (nt prologues per iteration) absorbs what the affine
+    index maps save.  Bit-identical to the prefetch 2p lean kernel
+    (asserted on-chip + interpret-mode test).  NOT adopted: no measured
+    win, and nt compiled programs per shape vs the prefetch grid's one is
+    strictly worse under this environment's compile lottery
+    (utils/jitcache.py).  Kept as the measurement record."""
+    P, G, K = m.shape
+    m = m.astype(jnp.int8)
+    if P % 2:
+        m = jnp.pad(m, ((0, 1), (0, 0), (0, 0)))
+        t = jnp.pad(t, ((0, 1), (0, 0)))
+        P += 1
+    tf = jnp.maximum(t, 1).astype(jnp.float32)  # lean body: pre-clamped T
+    nt = G // tile
+    s = jnp.zeros((G, G), jnp.float32)
+    n = jnp.zeros((G, G), jnp.int32)
+    for r in range(nt):
+        width = nt - r
+        s, n = pl.pallas_call(
+            functools.partial(
+                _band_kernel_2p_lean, approx=approx, precise=precise
+            ),
+            grid=(width, P // 2),
+            in_specs=[
+                pl.BlockSpec((2, tile, K), lambda j, p, r=r: (p, r, 0)),
+                pl.BlockSpec((2, tile, K), lambda j, p, r=r: (p, j + r, 0)),
+                pl.BlockSpec((P, tile), lambda j, p, r=r: (0, r)),
+                pl.BlockSpec((P, tile), lambda j, p, r=r: (0, j + r)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile, tile), lambda j, p, r=r: (r, j + r)),
+                pl.BlockSpec((tile, tile), lambda j, p, r=r: (r, j + r)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((G, G), jnp.float32),
+                jax.ShapeDtypeStruct((G, G), jnp.int32),
+            ],
+            input_output_aliases={4: 0, 5: 1},
+            cost_estimate=pl.CostEstimate(
+                flops=2 * P * tile * (width * tile) * K,
+                bytes_accessed=P * (tile + width * tile) * K
+                + 8 * tile * width * tile,
+                transcendentals=0,
+            ),
+        )(m, m, tf, tf, s, n)
     upper = (jnp.arange(G)[:, None] // tile) <= (jnp.arange(G)[None, :] // tile)
     s = jnp.where(upper, s, s.T)
     n = jnp.where(upper, n, n.T)

@@ -414,3 +414,25 @@ def test_fused_aji_plan_packed_odd_k_macs():
 
     plan = fused_aji_plan(3, 384, 255, symmetric=True, packed=True)
     assert plan["kp"] == 256
+
+
+def test_pallas_bands_2p_lean_matches():
+    """The r4 affine-bands 2p lean kernel (aliased in-place band outputs)
+    equals the default triu kernel bit-for-bit.  Measured neutral on-chip
+    (kernel docstring); pinned here so the measurement record stays
+    runnable."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from parfastaai_tpu.ops.pallas_intersect import (
+        _pallas_sn_sym,
+        _pallas_sn_sym_bands_2p,
+    )
+
+    for P in (3, 4):
+        m, t = _rand_presence(P=P, G=384, K=256, seed=12)
+        md, td = jnp.asarray(m), jnp.asarray(t)
+        with pltpu.force_tpu_interpret_mode():
+            ref_s, ref_n = _pallas_sn_sym(md, td, tile=128)
+            s, n = _pallas_sn_sym_bands_2p(md, td, tile=128)
+        np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(ref_s))
