@@ -1065,6 +1065,18 @@ def _banded_sn(
         s[r0 : r0 + nr, c0 : c0 + nc] = np.asarray(s_b)[:nr, :nc]
         n[r0 : r0 + nr, c0 : c0 + nc] = np.asarray(n_b)[:nr, :nc]
 
+    # Symmetric problems (all-vs-all fast path: rows == cols, same
+    # denominators): blocks ENTIRELY below the diagonal are the elementwise
+    # transpose of above-diagonal work (counts and the commutative
+    # denominator sums are symmetric => identical f32 per cell), so they are
+    # skipped and filled from the transpose after assembly — no new device
+    # program shape (straddling blocks compute fully), device MACs and S/N
+    # downloads approach half as G / col_chunk grows.
+    symmetric = (
+        len(row_ids) == len(col_ids)
+        and np.array_equal(row_ids, col_ids)
+        and np.array_equal(row_denom_ids, col_denom_ids)
+    )
     col_starts = list(range(0, len(col_ids), col_chunk))
     group_n = _staged_col_group(
         presence, band, col_chunk, len(col_starts), staged
@@ -1072,11 +1084,15 @@ def _banded_sn(
     for g0 in range(0, len(col_starts), group_n):
         group = col_starts[g0 : g0 + group_n]
         for r0 in range(0, len(row_ids), band):
+            if symmetric and group[-1] + col_chunk <= r0:
+                continue  # the whole group is below the diagonal here
             rids = row_ids[r0 : r0 + band]
             pad_r = band - len(rids)
             rpad = np.pad(rids, (0, pad_r))
             drpad = np.pad(row_denom_ids[r0 : r0 + band], (0, pad_r))
             for c0 in group:
+                if symmetric and c0 + col_chunk <= r0:
+                    continue
                 cids = col_ids[c0 : c0 + col_chunk]
                 pad_c = col_chunk - len(cids)
                 cpad = np.pad(cids, (0, pad_c))
@@ -1092,6 +1108,10 @@ def _banded_sn(
                     drain_one()
     while pending:
         drain_one()
+    if symmetric:
+        il = np.tril_indices(len(row_ids), k=-1)
+        s[il] = s.T[il]
+        n[il] = n.T[il]
     return s, n
 
 

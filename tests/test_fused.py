@@ -436,3 +436,65 @@ def test_pallas_bands_2p_lean_matches():
             s, n = _pallas_sn_sym_bands_2p(md, td, tile=128)
         np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
         np.testing.assert_array_equal(np.asarray(s), np.asarray(ref_s))
+
+
+def test_banded_sn_symmetric_skips_lower_blocks(monkeypatch):
+    """Symmetric _banded_sn computes only diagonal-and-above blocks (r4):
+    10 of 16 at a 4x4 block grid, with the lower triangle filled from the
+    transpose — values identical to the full walk."""
+    import parfastaai_tpu.engine as eng
+
+    rng = np.random.default_rng(5)
+    m = (rng.random((3, 32, 128)) < 0.25).astype(np.uint8)
+    from parfastaai_tpu.etl.database import PresenceData
+    from parfastaai_tpu.types import DBMetaData
+
+    pres = PresenceData(
+        meta=DBMetaData(
+            protein_set=("a", "b", "c"),
+            genome_set=tuple(f"g{i}" for i in range(32)),
+        ),
+        m=m,
+        t=m.sum(axis=2, dtype=np.int32),
+        widths=np.full(3, 128, dtype=np.int32),
+        tetramer_ids=[np.arange(128, dtype=np.int32)] * 3,
+    )
+    monkeypatch.setenv("PARFASTAAI_FORCE_DEVICE", "1")
+    calls = []
+    orig = eng._choose_block_engine
+
+    def counting(*a, **k):
+        block_sn, pall = orig(*a, **k)
+
+        def wrapped(*ba, **bk):
+            calls.append(1)
+            return block_sn(*ba, **bk)
+
+        return wrapped, pall
+
+    monkeypatch.setattr(eng, "_choose_block_engine", counting)
+    ids = np.arange(32, dtype=np.int32)
+    s_sym, n_sym = eng._banded_sn(pres, ids, ids, ids, ids, band=8,
+                                  col_chunk=8)
+    assert len(calls) == 10  # 4x4 grid: triu + diagonal only
+    # Full walk for comparison: break symmetry detection via distinct
+    # denominators that happen to be the same columns (a copy is not equal
+    # by identity but IS by value — so use a genuinely different object
+    # with equal values to confirm detection is by value, then a shifted
+    # one for the full walk).
+    calls.clear()
+    s_sym2, n_sym2 = eng._banded_sn(pres, ids, ids, ids.copy(), ids.copy(),
+                                    band=8, col_chunk=8)
+    assert len(calls) == 10  # detection is by value, not identity
+    np.testing.assert_array_equal(s_sym2, s_sym)
+    # Reference: full square via an asymmetric-looking but value-equal walk
+    # is impossible, so check against the exact oracle instead.
+    mf = m.astype(np.float64)
+    cnt = np.einsum("pik,pjk->pij", mf, mf)
+    t64 = pres.t.astype(np.float64)
+    denom = t64[:, :, None] + t64[:, None, :] - cnt
+    with np.errstate(divide="ignore", invalid="ignore"):
+        j = np.where(cnt > 0, cnt / denom, 0.0)
+    np.testing.assert_array_equal(n_sym, (cnt > 0).sum(0))
+    np.testing.assert_allclose(s_sym, j.sum(0), rtol=1e-6)
+    np.testing.assert_array_equal(s_sym, s_sym.T)  # transpose fill exact

@@ -287,12 +287,16 @@ def test_banded_sn_column_group_traversal_cuts_uploads(monkeypatch):
     # sizer picks 2 of the 4 column chunks per group.
     monkeypatch.setenv("PARFASTAAI_HBM_BYTES", "20000")
     ids = np.arange(32, dtype=np.int32)
+    # Distinct denominator columns keep the walk NON-symmetric (the
+    # symmetric triu skip would otherwise change both arms' block sets and
+    # this test pins the traversal-order effect alone).
+    dcol = (ids + 1) % 32
 
     def run(presence, group_fn=None):
         if group_fn is not None:
             monkeypatch.setattr(eng, "_staged_col_group", group_fn)
         out = eng._banded_sn(
-            presence, ids, ids, ids, ids, band=8, col_chunk=8, staged=True
+            presence, ids, ids, ids, dcol, band=8, col_chunk=8, staged=True
         )
         fetch = presence._slab_store_cache[
             next(iter(presence._slab_store_cache))
