@@ -1397,6 +1397,26 @@ def compute_streamed(
     import queue as _queue
     import threading
 
+    # Symmetric mirror for the f32 streamed path (r4): all-vs-all runs skip
+    # every column chunk ENTIRELY below the diagonal and fill those regions
+    # from the assembled bands already produced (aji is symmetric; per-cell
+    # f32 arithmetic is commutative in its only asymmetric input, the
+    # denominator sum, so filled values are bit-identical) — device MACs
+    # and result downloads approach half, with no new device program shape.
+    # Requires a fresh run (mirrors need every earlier band from THIS run)
+    # and the full assembled-band store (G^2 * 4 bytes) under the budget.
+    import os as _os
+
+    sym_stream = (
+        rows_done == 0
+        and len(row_ids) == len(col_ids)
+        and np.array_equal(row_ids, col_ids)
+        and np.array_equal(row_denom_ids, col_denom_ids)
+        and len(row_ids) * len(col_ids) * 4
+        <= int(float(_os.environ.get("PARFASTAAI_MIRROR_BYTES", 4 << 30)))
+    )
+    band_store: dict[int, np.ndarray] = {}
+
     write_q: _queue.Queue = _queue.Queue(maxsize=2)
     werr: list[BaseException] = []
 
@@ -1434,6 +1454,8 @@ def compute_streamed(
         if reverse:
             c0s.reverse()
         for c0 in c0s:
+            if sym_stream and c0 + col_chunk <= r0:
+                continue  # below the diagonal: filled from earlier bands
             cids = col_ids[c0 : c0 + col_chunk]
             pad_c = col_chunk - len(cids)
             cpad = np.pad(cids, (0, pad_c))
@@ -1446,15 +1468,27 @@ def compute_streamed(
             chunks.append((c0, len(cids), aji))
         return rids, chunks
 
-    def _assemble(rids: np.ndarray, chunks) -> np.ndarray:
+    def _assemble(r0: int, rids: np.ndarray, chunks) -> np.ndarray:
         rows_aji = np.zeros((len(rids), len(col_ids)), dtype=np.float32)
         for c0, ncols, aji in chunks:
             rows_aji[:, c0 : c0 + ncols] = np.asarray(aji)[
                 : len(rids), :ncols
             ]
+        if sym_stream:
+            # Skipped region [0, fill_end): transpose slices of the stored
+            # earlier bands (all complete — only the final band can be
+            # short, and nothing mirrors from it).
+            fill_end = (r0 // col_chunk) * col_chunk
+            for bs in range(0, fill_end, band):
+                width = min(band, fill_end - bs)
+                rows_aji[:, bs : bs + width] = band_store[bs][
+                    :width, r0 : r0 + len(rids)
+                ].T
         # Reference leaves same-genome cells untouched => 0.  (n == 0 cells
         # were already zeroed on device by _mask_aji.)
         rows_aji[rids[:, None] == col_ids[None, :]] = 0.0
+        if sym_stream:
+            band_store[r0] = rows_aji
         return rows_aji
 
     writer = (
@@ -1472,13 +1506,13 @@ def compute_streamed(
             rids, chunks = _dispatch(r0, staged_active and bi % 2 == 1)
             if pending is not None and primary:
                 pr0, prids, pchunks = pending
-                write_q.put((pr0, _assemble(prids, pchunks)))
+                write_q.put((pr0, _assemble(pr0, prids, pchunks)))
             pending = (r0, rids, chunks)
             if werr:
                 break
         if pending is not None and primary and not werr:
             pr0, prids, pchunks = pending
-            write_q.put((pr0, _assemble(prids, pchunks)))
+            write_q.put((pr0, _assemble(pr0, prids, pchunks)))
     finally:
         if writer is not None and writer.is_alive():
             write_q.put(None)

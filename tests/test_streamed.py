@@ -128,3 +128,38 @@ def test_streamed_device_path_matches_host(subset1_db, tmp_path, monkeypatch):
     _, _, host_vals = _read_csv(str(host_csv))
     _, _, dev_vals = _read_csv(str(dev_csv))
     np.testing.assert_allclose(dev_vals, host_vals, rtol=1e-6, atol=0)
+
+
+def test_streamed_symmetric_mirror_byte_identical(
+    subset1_db, tmp_path, monkeypatch
+):
+    """The f32 streamed path's symmetric mirror (r4: below-diagonal chunks
+    skipped, filled from stored assembled bands) writes byte-identical CSVs
+    to the full-square walk (PARFASTAAI_MIRROR_BYTES=1 disables it), at
+    band/chunk sizes that exercise skipped, straddling, and short blocks."""
+    import numpy as np
+
+    from parfastaai_tpu.engine import compute_streamed
+    from parfastaai_tpu.etl.database import SCPDatabase
+
+    monkeypatch.setenv("PARFASTAAI_FORCE_DEVICE", "1")
+    db = SCPDatabase(subset1_db)
+    pres = db.load_presence()
+    db.close()
+    g = len(db.meta.genome_set)
+    ids = np.arange(g, dtype=np.int32)
+    names = db.meta.genome_set
+    for band, chunk in ((1, 1), (2, 1), (1, 2), (3, 2)):
+        mirrored = tmp_path / f"m{band}_{chunk}.csv"
+        compute_streamed(
+            pres, ids, ids, str(mirrored), names, names,
+            band=band, col_chunk=chunk,
+        )
+        monkeypatch.setenv("PARFASTAAI_MIRROR_BYTES", "1")
+        full = tmp_path / f"f{band}_{chunk}.csv"
+        compute_streamed(
+            pres, ids, ids, str(full), names, names,
+            band=band, col_chunk=chunk,
+        )
+        monkeypatch.delenv("PARFASTAAI_MIRROR_BYTES")
+        assert mirrored.read_bytes() == full.read_bytes(), (band, chunk)
