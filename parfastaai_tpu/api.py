@@ -102,11 +102,14 @@ def _compute(
     mesh: tuple[int, int] | None,
     approx: bool,
     precise: bool,
+    staged: bool | None = None,
 ) -> JacResult:
     if engine == "exact":
         return compute(presence, pairs)
     if engine == "fast":
-        return compute_fast(presence, pairs, approx=approx, precise=precise)
+        return compute_fast(
+            presence, pairs, approx=approx, precise=precise, staged=staged
+        )
     if engine == "sharded":
         n_rows, n_scp = mesh if mesh else (None, 1)
         return compute_sharded(presence, pairs, n_rows, n_scp)
@@ -125,6 +128,7 @@ def aji(
     mesh: tuple[int, int] | None = None,
     approx: bool = False,
     precise: bool = False,
+    staged: bool | None = None,
     compat_qt_t_swap: bool = True,
 ) -> AJIResult:
     """Compute the AJI matrix for a FastAAI database.
@@ -135,10 +139,16 @@ def aji(
       query_subset: query-subset mode — genome names that must exist in the
         database (CLI ``-q``); mutually exclusive with ``query_db``.
       engine: ``exact`` (bit-parity f64, default) | ``fast`` (fused device
-        f32) | ``sharded`` (fused over a device mesh).
+        f32) | ``sharded`` (fused over a device mesh).  At genome counts
+        where holding per-pair results in memory is itself the problem,
+        use :func:`aji_to_csv` with ``engine="streamed"`` /
+        ``"streamed-exact"`` instead.
       mesh: (rows, scp) device-mesh shape for ``engine="sharded"``.
       approx / precise: fused-kernel divide selection (CLI ``--approx`` /
         ``--precise``); only meaningful with ``engine="fast"``.
+      staged: presence-slab staging for tensors larger than device memory
+        (CLI ``--staged``); only meaningful with ``engine="fast"`` — True
+        forces, False forbids, None (default) auto-selects.
       compat_qt_t_swap: replicate the reference's swapped T-column read in
         two-database mode (modes.query_target; default True = reference
         parity).
@@ -155,7 +165,7 @@ def aji(
         presence = db.load_presence()
     finally:
         db.close()
-    result = _compute(presence, pairs, engine, mesh, approx, precise)
+    result = _compute(presence, pairs, engine, mesh, approx, precise, staged)
     return AJIResult(
         matrix=aji_matrix(pairs, result.aji),
         row_names=pairs.query_names,
@@ -179,6 +189,7 @@ def aji_to_csv(
     resume: bool = False,
     approx: bool = False,
     precise: bool = False,
+    staged: bool | None = None,
     compat_qt_t_swap: bool = True,
 ) -> None:
     """Compute AJI and write the reference-format CSV in one call.
@@ -219,6 +230,7 @@ def aji_to_csv(
             resume=resume,
             row_denom_ids=pairs.row_denom_ids,
             col_denom_ids=pairs.col_denom_ids,
+            staged=staged,
         )
         return
     if engine == "streamed":
@@ -250,6 +262,7 @@ def aji_to_csv(
             precise=precise,
             row_denom_ids=pairs.row_denom_ids,
             col_denom_ids=pairs.col_denom_ids,
+            staged=staged,
         )
         return
     res = aji(
@@ -260,6 +273,7 @@ def aji_to_csv(
         mesh=mesh,
         approx=approx,
         precise=precise,
+        staged=staged,
         compat_qt_t_swap=compat_qt_t_swap,
     )
     res.to_csv(out_path, separator)

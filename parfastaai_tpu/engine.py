@@ -1146,7 +1146,11 @@ def compute_streamed(
     Bands are software-pipelined: band k+1's device blocks are dispatched
     (with async host copies) before band k is materialized, and a writer
     thread formats/writes band k-1 concurrently — device compute, PCIe/tunnel
-    transfer, and CSV IO all overlap.
+    transfer, and CSV IO all overlap.  Symmetric (all-vs-all) runs skip the
+    column chunks entirely below the diagonal and fill those regions from
+    the assembled bands already produced (bit-identical values; see the
+    sym_stream block below) — device MACs and result downloads approach
+    half, gated by PARFASTAAI_MIRROR_BYTES and disabled on resume.
 
     f32 on device (~1e-7 relative error, like compute_fast); denominator T
     columns default to the DB id columns but callers can override them via

@@ -86,3 +86,25 @@ def test_streamed_exact_rejects_contradictory_args(subset1_db, tmp_path):
     for kw in ({"approx": True}, {"precise": True}, {"mesh": (1, 1)}):
         with pytest.raises(PFAAIError):
             pfa.aji_to_csv(out, subset1_db, engine="streamed-exact", **kw)
+
+
+def test_api_staged_passthrough(subset1_db, tmp_path, monkeypatch):
+    """The library API exposes the CLI's --staged (r4): fast and streamed
+    engines accept staged=True and produce the same values as resident."""
+    import numpy as np
+
+    import parfastaai_tpu.api as pfa
+
+    monkeypatch.setenv("PARFASTAAI_FORCE_DEVICE", "1")
+    resident = pfa.aji(subset1_db, engine="fast", staged=False)
+    monkeypatch.setenv("PARFASTAAI_HBM_BYTES", "1")
+    staged = pfa.aji(subset1_db, engine="fast", staged=True)
+    np.testing.assert_array_equal(staged.matrix, resident.matrix)
+
+    out_r = tmp_path / "resident.csv"
+    out_s = tmp_path / "staged.csv"
+    monkeypatch.delenv("PARFASTAAI_HBM_BYTES")
+    pfa.aji_to_csv(str(out_r), subset1_db, engine="streamed", staged=False)
+    monkeypatch.setenv("PARFASTAAI_HBM_BYTES", "1")
+    pfa.aji_to_csv(str(out_s), subset1_db, engine="streamed", staged=True)
+    assert out_s.read_bytes() == out_r.read_bytes()
