@@ -329,3 +329,35 @@ def test_staged_col_group_sizing(monkeypatch):
     # Budget too small for even one chunk: degrade to 1, never 0.
     monkeypatch.setenv("PARFASTAAI_HBM_BYTES", "1")
     assert _staged_col_group(pres, 8, 8, 4, True) == 1
+
+
+def test_staged_mesh_pallas_interpret_mode(subset1_db, tmp_path, monkeypatch):
+    """The staged-mesh engine's Pallas-under-shard_map branch (the program
+    real TPUs run) evaluated in interpret mode on the CPU mesh — values
+    must match the XLA-fallback staged-mesh CSV."""
+    monkeypatch.setenv("PARFASTAAI_FORCE_DEVICE", "1")
+    meta, pres = _load(subset1_db)
+    g = len(meta.genome_set)
+    ids = np.arange(g, dtype=np.int32)
+    names = meta.genome_set
+
+    xla = tmp_path / "xla.csv"
+    compute_streamed(
+        pres, ids, ids, str(xla), names, names, band=4, col_chunk=3,
+        mesh=_mesh(4, 2), staged=True,
+    )
+    monkeypatch.setenv("PARFASTAAI_PALLAS_INTERPRET", "1")
+    pall = tmp_path / "pallas.csv"
+    # Fresh presence: engine caches key on backend+flags, but the slab
+    # store would otherwise reuse XLA-uploaded slabs — a clean object keeps
+    # the two runs independent.
+    _, pres2 = _load(subset1_db)
+    compute_streamed(
+        pres2, ids, ids, str(pall), names, names, band=4, col_chunk=3,
+        mesh=_mesh(4, 2), staged=True,
+    )
+    got = np.genfromtxt(pall, delimiter=",", skip_header=1,
+                        usecols=range(1, g + 1))
+    want = np.genfromtxt(xla, delimiter=",", skip_header=1,
+                         usecols=range(1, g + 1))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
