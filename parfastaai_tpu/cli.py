@@ -535,7 +535,7 @@ def run(argv: list[str] | None = None) -> int:
                     "banded exact engine (identical CSV bytes; "
                     "PARFASTAAI_EXACT_HOST_BYTES overrides)"
                 )
-            _banded_exact_run(args, presence, pairs, verbose, resume=False)
+            _banded_exact_run(args, presence, pairs, verbose, args.resume)
             if profiler is not None:
                 profiler.stop_trace()
             return 0

@@ -393,19 +393,28 @@ def presence_device_bytes(presence: PresenceData) -> int:
     return sum((i - k) * g * kb for k, i, kb in bounds)
 
 
-def _use_staged(presence: PresenceData, staged: bool | None = None) -> bool:
-    """Resolve the staged-vs-resident choice: explicit caller/CLI setting,
-    then PARFASTAAI_STAGED=1, then automatic (presence exceeds the device
-    budget when the backend reports one)."""
+def _staged_override(staged: bool | None) -> bool | None:
+    """Explicit-arg / PARFASTAAI_STAGED tri-state resolution shared by
+    _use_staged and _use_staged_mesh; None means 'decide from the budget'.
+    "0"/"false"/"no" force resident, any other non-empty value forces
+    staged (plain truthiness would read PARFASTAAI_STAGED=0 as ON)."""
     import os
 
     if staged is not None:
         return staged
     env = os.environ.get("PARFASTAAI_STAGED")
     if env is not None and env != "":
-        # Tri-state env: "0"/"false" force resident, anything else forces
-        # staged (plain truthiness would read PARFASTAAI_STAGED=0 as ON).
         return env.lower() not in ("0", "false", "no")
+    return None
+
+
+def _use_staged(presence: PresenceData, staged: bool | None = None) -> bool:
+    """Resolve the staged-vs-resident choice: explicit caller/CLI setting,
+    then PARFASTAAI_STAGED, then automatic (presence exceeds the device
+    budget when the backend reports one)."""
+    override = _staged_override(staged)
+    if override is not None:
+        return override
     budget = _hbm_budget()
     return budget is not None and presence_device_bytes(presence) > budget
 
@@ -545,13 +554,9 @@ def _use_staged_mesh(
     shards the presence tensor over the ``scp`` axis only (genome axis
     replicated), so the per-device residency is 1/n_scp of the single-device
     figure — the auto threshold scales accordingly."""
-    import os
-
-    if staged is not None:
-        return staged
-    env = os.environ.get("PARFASTAAI_STAGED")
-    if env is not None and env != "":
-        return env.lower() not in ("0", "false", "no")
+    override = _staged_override(staged)
+    if override is not None:
+        return override
     budget = _hbm_budget()
     return (
         budget is not None
@@ -1109,9 +1114,12 @@ def _banded_sn(
     while pending:
         drain_one()
     if symmetric:
-        il = np.tril_indices(len(row_ids), k=-1)
-        s[il] = s.T[il]
-        n[il] = n.T[il]
+        # Blockwise transpose fill (np.tril_indices at G=16384 would
+        # allocate two ~1 GB int64 index vectors plus gather copies).
+        for r0 in range(0, len(row_ids), band):
+            r1 = min(r0 + band, len(row_ids))
+            s[r0:r1, :r0] = s[:r0, r0:r1].T
+            n[r0:r1, :r0] = n[:r0, r0:r1].T
     return s, n
 
 
@@ -1150,7 +1158,9 @@ def compute_streamed(
     column chunks entirely below the diagonal and fill those regions from
     the assembled bands already produced (bit-identical values; see the
     sym_stream block below) — device MACs and result downloads approach
-    half, gated by PARFASTAAI_MIRROR_BYTES and disabled on resume.
+    half, at the cost of holding the assembled bands (up to G^2 * 4 bytes)
+    on host; gated by PARFASTAAI_MIRROR_BYTES (default 4 GiB; set to 1 for
+    strict O(band x G) memory) and disabled on resume.
 
     f32 on device (~1e-7 relative error, like compute_fast); denominator T
     columns default to the DB id columns but callers can override them via
@@ -1667,16 +1677,26 @@ def compute_streamed_exact(
     work_q: _queue.Queue = _queue.Queue(maxsize=2)
     werr: list[BaseException] = []
 
+    n_chunks_per_band = max(1, -(-len(col_ids) // col_chunk))
+
     def _worker() -> None:
         try:
             cur_r0 = -1
             cur_rids: np.ndarray | None = None
             rows_aji: np.ndarray | None = None
+            chunks_done = 0
             mirror: dict[tuple[int, int], np.ndarray] = {}
 
             def flush() -> None:
                 nonlocal rows_aji
                 if rows_aji is None:
+                    return
+                if chunks_done < n_chunks_per_band:
+                    # Producer aborted mid-band (device error, interrupt):
+                    # the unfilled chunks are np.empty garbage.  Discard —
+                    # writing them would bake a complete-looking band into
+                    # the CSV that --resume would then keep as a checkpoint.
+                    rows_aji = None
                     return
                 # Same-genome cells are untouched in the reference => 0.
                 rows_aji[cur_rids[:, None] == col_ids[None, :]] = 0.0
@@ -1693,9 +1713,11 @@ def compute_streamed_exact(
                 if r0 != cur_r0:
                     flush()
                     cur_r0, cur_rids = r0, rids
+                    chunks_done = 0
                     rows_aji = np.empty(
                         (len(rids), len(col_ids)), dtype=np.float64
                     )
+                chunks_done += 1
                 if kind == "mirror":
                     # Transpose of an above-diagonal tile finished earlier
                     # (FIFO guarantees it exists); each tile mirrors once.

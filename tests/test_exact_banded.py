@@ -198,3 +198,64 @@ def test_symmetric_mirror_reuse_byte_identical(
         )
         monkeypatch.delenv("PARFASTAAI_MIRROR_BYTES")
         assert mirrored.read_bytes() == full.read_bytes()
+
+
+def test_exact_abort_mid_band_discards_partial_band(
+    subset1_db, tmp_path, monkeypatch
+):
+    """Producer abort mid-band (device error, interrupt) must NOT write the
+    partially-filled band: its unfilled chunks are uninitialized memory, and
+    --resume would keep a written band as a valid checkpoint (r4 review
+    finding).  The aborted CSV holds only complete bands; a --resume rerun
+    finishes it byte-identical to a clean run."""
+    import numpy as np
+    import pytest
+
+    import parfastaai_tpu.engine as eng
+    from parfastaai_tpu.etl.database import SCPDatabase
+
+    monkeypatch.setenv("PARFASTAAI_FORCE_DEVICE", "1")
+    db = SCPDatabase(subset1_db)
+    pres = db.load_presence()
+    db.close()
+    g = len(db.meta.genome_set)
+    ids = np.arange(g, dtype=np.int32)
+    names = db.meta.genome_set
+
+    clean = tmp_path / "clean.csv"
+    eng.compute_streamed_exact(
+        pres, ids, ids, str(clean), names, names, band=2, col_chunk=2
+    )
+
+    calls = []
+    orig = eng._bucket_count_engine
+
+    def failing(presence):
+        block_counts = orig(presence)
+
+        def wrapped(*a, **k):
+            calls.append(1)
+            if len(calls) == 3:  # band 2, chunk 1: abort mid-band
+                raise RuntimeError("injected device failure")
+            return block_counts(*a, **k)
+
+        return wrapped
+
+    monkeypatch.setattr(eng, "_bucket_count_engine", failing)
+    out = tmp_path / "aborted.csv"
+    # Fresh presence object: the count engine is cached per presence.
+    db = SCPDatabase(subset1_db)
+    pres2 = db.load_presence()
+    db.close()
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.compute_streamed_exact(
+            pres2, ids, ids, str(out), names, names, band=2, col_chunk=2
+        )
+    lines = out.read_text().splitlines()
+    assert len(lines) == 1 + 2, lines  # header + ONLY the complete band
+    monkeypatch.setattr(eng, "_bucket_count_engine", orig)
+    eng.compute_streamed_exact(
+        pres, ids, ids, str(out), names, names, band=2, col_chunk=2,
+        resume=True,
+    )
+    assert out.read_bytes() == clean.read_bytes()
