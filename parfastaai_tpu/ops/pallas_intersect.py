@@ -117,27 +117,34 @@ def _gram(a, b, packed, f32=False):
     )
 
 
+def _clamp_t(t) -> jax.Array:
+    """T operand for every kernel wrapper: f32 (exact — tetramer counts <
+    160000 << 2^24, so the denominator is pure f32 math) and pre-clamped to
+    >= 1 so the kernel body needs no per-cell denominator clamp (the r4
+    'lean' trim, adopted family-wide): cnt > 0 cells have real T >= cnt >= 1
+    where the clamp is an identity, and cnt == 0 cells divide 0 by
+    ta'+tb' >= 2 — 0/x == 0 exactly, so results are bit-identical to the
+    clamped form (measured +1%, _pallas_sn_sym_2p docstring)."""
+    return jnp.maximum(t, 1).astype(jnp.float32)
+
+
 def _jaccard_terms(p, cnt, ta_ref, tb_ref, approx, precise, outer=None):
-    """One protein's Jaccard tile (j, shared) WITHOUT accumulating — shared
+    """One protein's Jaccard tile (j, nterm) WITHOUT accumulating — shared
     by the accumulate-per-protein kernels (_jaccard_update) and the
     fused-update experiment (_sym_kernel_2p variants, which sum two
     proteins' terms before touching the VMEM accumulators).  ``outer``
     optionally supplies a precomputed ta[i]+tb[j] tile (the MXU outer-sum
-    experiment)."""
-    shared = cnt > 0
+    experiment).  Requires T pre-clamped >= 1 (_clamp_t); ``nterm`` is the
+    int32 shared-protein indicator min(cnt, 1) — one VPU op instead of
+    compare + select (the r4 lean trim)."""
     cf = cnt.astype(jnp.float32)
     if outer is None:
         # T tiles carry all P rows (TPU block shapes need >=8 sublanes);
-        # select the current protein's row dynamically.  T arrives as f32
-        # (exact: tetramer counts < 160000 << 2^24) so the denominator is
-        # pure f32 math — one fewer int->f32 convert per element in a
-        # VPU-bound pipeline.
-        ta = ta_ref[pl.ds(p, 1), :]  # (1, TILE) f32
+        # select the current protein's row dynamically.
+        ta = ta_ref[pl.ds(p, 1), :]  # (1, TILE) f32, pre-clamped >= 1
         tb = tb_ref[pl.ds(p, 1), :]
         outer = ta[0][:, None] + tb[0][None, :]
-    # cnt > 0 implies denom >= 1, and cnt == 0 contributes 0/denom' == 0, so
-    # clamping replaces a select (the pipeline is VPU-bound, not MXU-bound).
-    denom = jnp.maximum(outer - cf, 1.0)
+    denom = outer - cf  # >= 1 when cnt > 0; cnt == 0 gives j == 0 exactly
     if approx:
         # Raw lookup reciprocal: 1.6e-5 max rel err, fastest (1338M pairs/s
         # at G=4096 tile=512, clean-harness protocol 2026-08-20 — only +2%
@@ -156,15 +163,15 @@ def _jaccard_terms(p, cnt, ta_ref, tb_ref, approx, precise, outer=None):
         r = pl.reciprocal(denom, approx=True)
         r = r * (2.0 - denom * r)
         j = cf * r
-    return j, shared
+    return j, jnp.minimum(cnt, 1)
 
 
 def _jaccard_update(p, cnt, ta_ref, tb_ref, s_ref, n_ref, approx, precise):
     """One protein's Jaccard transform of a finished count tile, accumulated
     into the VMEM-resident (S, N) tile."""
-    j, shared = _jaccard_terms(p, cnt, ta_ref, tb_ref, approx, precise)
+    j, nterm = _jaccard_terms(p, cnt, ta_ref, tb_ref, approx, precise)
     s_ref[:] += j
-    n_ref[:] += shared.astype(jnp.int32)
+    n_ref[:] += nterm
 
 
 def _accumulate(
@@ -324,7 +331,7 @@ def _sym_kernel_2p_fused(
     j1, m1 = _jaccard_terms(2 * p + 1, cnt1, ta_ref, tb_ref, approx, precise,
                             outer=outer1)
     s_ref[:] += j0 + j1
-    n_ref[:] += m0.astype(jnp.int32) + m1.astype(jnp.int32)
+    n_ref[:] += m0 + m1
 
 
 @functools.partial(
@@ -390,7 +397,12 @@ def _pallas_sn_sym_2p(
       empirical ceiling of the grid/DMA/MXU machinery with near-zero VPU
       work; the gap from lean's 0.78 to 0.86 is the exposed cost of the
       ~9 genuinely required transform ops, so ~0.78 is certified as the
-      practical ceiling of this kernel family (docs/DESIGN.md §6.1)."""
+      practical ceiling of this kernel family (docs/DESIGN.md §6.1).
+
+    After the measurement, the lean trim was adopted FAMILY-WIDE: the
+    shared _jaccard_terms body is now the lean form and every wrapper
+    pre-clamps T (_clamp_t), so 'base' and 'lean' run identical code —
+    the variant names remain for the measurement record above."""
     P, G, K = m.shape
     m = m.astype(jnp.int8)
     if P % 2:
@@ -431,9 +443,7 @@ def _pallas_sn_sym_2p(
         )
     # The lean family drops the in-kernel denominator clamp; T pre-clamped
     # to >= 1 makes that exact (see _sym_kernel_2p_lean).
-    tf = (
-        jnp.maximum(t, 1) if variant in ("lean", "counts") else t
-    ).astype(jnp.float32)
+    tf = _clamp_t(t)  # lean family-wide: see _clamp_t
     s, n = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -541,7 +551,7 @@ def _pallas_sn_kb(
             bytes_accessed=2 * P * G * K + 8 * G * G,
             transcendentals=0,
         ),
-    )(m, m, t.astype(jnp.float32), t.astype(jnp.float32))
+    )(m, m, _clamp_t(t), _clamp_t(t))
     return s, n
 
 
@@ -595,8 +605,8 @@ def _pallas_sn_sym_kb(
         jnp.asarray(cols, jnp.int32),
         m,
         m,
-        t.astype(jnp.float32),
-        t.astype(jnp.float32),
+        _clamp_t(t),
+        _clamp_t(t),
     )
     upper = (jnp.arange(G)[:, None] // tile) <= (jnp.arange(G)[None, :] // tile)
     s = jnp.where(upper, s, s.T)
@@ -647,7 +657,7 @@ def _pallas_sn_rect_kb(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(ma, mb, ta.astype(jnp.float32), tb.astype(jnp.float32))
+    )(ma, mb, _clamp_t(ta), _clamp_t(tb))
     return s, n
 
 
@@ -688,7 +698,7 @@ def _pallas_sn(
             bytes_accessed=2 * P * G * kb + 8 * G * G,
             transcendentals=0,
         ),
-    )(m, m, t.astype(jnp.float32), t.astype(jnp.float32))
+    )(m, m, _clamp_t(t), _clamp_t(t))
     return s, n
 
 
@@ -763,8 +773,8 @@ def _pallas_sn_sym(
         jnp.asarray(cols, jnp.int32),
         m,
         m,
-        t.astype(jnp.float32),
-        t.astype(jnp.float32),
+        _clamp_t(t),
+        _clamp_t(t),
     )
     # Unwritten lower-triangle tiles hold garbage; every (r, c) with
     # tile(r) > tile(c) mirrors its transposed, computed entry.
@@ -832,7 +842,7 @@ def _pallas_sn_sym_diag(
             bytes_accessed=2 * P * G * kb * ndiag // nt + 8 * G * G,
             transcendentals=0,
         ),
-    )(m, m, t.astype(jnp.float32), t.astype(jnp.float32))
+    )(m, m, _clamp_t(t), _clamp_t(t))
     # Tiles with forward distance > nt//2 were not computed; they are the
     # transposes of computed ones.
     rt = jnp.arange(G) // tile
@@ -883,7 +893,7 @@ def _pallas_sn_sym_bands(
     if packed:
         m = _pack_nibbles(m)
     kb = m.shape[2]
-    tf = t.astype(jnp.float32)
+    tf = _clamp_t(t)
     nt = G // tile
     s = jnp.zeros((G, G), jnp.float32)
     n = jnp.zeros((G, G), jnp.int32)
@@ -978,7 +988,7 @@ def _pallas_sn_sym_bands_2p(
         m = jnp.pad(m, ((0, 1), (0, 0), (0, 0)))
         t = jnp.pad(t, ((0, 1), (0, 0)))
         P += 1
-    tf = jnp.maximum(t, 1).astype(jnp.float32)  # lean body: pre-clamped T
+    tf = _clamp_t(t)
     nt = G // tile
     s = jnp.zeros((G, G), jnp.float32)
     n = jnp.zeros((G, G), jnp.int32)
@@ -1062,7 +1072,7 @@ def _pallas_sn_rect(
         interpret=interpret,
     )(
         ma.astype(jnp.int8), mb.astype(jnp.int8),
-        ta.astype(jnp.float32), tb.astype(jnp.float32),
+        _clamp_t(ta), _clamp_t(tb),
     )
     return s, n
 
