@@ -18,8 +18,6 @@
 //     blobs into the dense genome x tetramer presence matrix (the TPU-native
 //     replacement for constructF, ds_helper.hpp:126-162).
 //
-// Exposed with C linkage for ctypes (no pybind11 in this environment).
-
 //   * format_f64_row — CSV row formatting with shortest-round-trip doubles
 //     (std::to_chars), the native counterpart of the reference's
 //     fmt::print("{}") writer (src/main.cpp:160-174).  At production genome

@@ -1004,8 +1004,8 @@ def _pallas_sn_sym_bands_2p(
                 pl.BlockSpec((2, tile, K), lambda j, p, r=r: (p, j + r, 0)),
                 pl.BlockSpec((P, tile), lambda j, p, r=r: (0, r)),
                 pl.BlockSpec((P, tile), lambda j, p, r=r: (0, j + r)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
                 pl.BlockSpec((tile, tile), lambda j, p, r=r: (r, j + r)),
