@@ -201,14 +201,15 @@ def aji_to_csv(
     any genome count.  Both support resume-from-partial-file
     (``resume=True``)."""
     if engine == "streamed-exact":
-        if approx or precise or mesh:
+        if approx or precise:
             # Mirror the CLI's --exact guard (cli.py): the banded exact
-            # engine is f64 single-device by definition; silently running a
-            # plain f64 pass would misreport what was asked for.
+            # engine is f64 by definition; silently running a plain f64
+            # pass would misreport what was asked for.  ``mesh`` IS
+            # accepted: integer counts are exact on any sharding.
             raise PFAAIError(
                 ErrorCode.CONSTRUCT_ERROR,
-                "engine='streamed-exact' is f64 single-device by "
-                "definition; it cannot combine with approx/precise/mesh",
+                "engine='streamed-exact' is f64 by definition; it cannot "
+                "combine with approx/precise",
             )
         db, pairs = _open(
             db_path, query_db, query_subset, compat_qt_t_swap, axes_only=True
@@ -217,6 +218,11 @@ def aji_to_csv(
             presence = db.load_presence()
         finally:
             db.close()
+        jmesh = None
+        if mesh:
+            from .parallel.mesh import make_mesh
+
+            jmesh = make_mesh(mesh[0], mesh[1] if len(mesh) > 1 else 1)
         compute_streamed_exact(
             presence,
             pairs.row_db_ids,
@@ -231,6 +237,7 @@ def aji_to_csv(
             row_denom_ids=pairs.row_denom_ids,
             col_denom_ids=pairs.col_denom_ids,
             staged=staged,
+            mesh=jmesh,
         )
         return
     if engine == "streamed":

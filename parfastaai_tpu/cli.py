@@ -272,10 +272,12 @@ def _enable_compilation_cache() -> None:
     enable_compilation_cache()
 
 
-def _banded_exact_run(args, presence, pairs, verbose, resume) -> None:
+def _banded_exact_run(args, presence, pairs, verbose, resume, mesh=None):
     """Shared banded-exact driver: --streamed --exact and the auto-routed
     default exact path run the identical engine call (bit-parity f64 CSV in
-    bounded memory, engine.compute_streamed_exact)."""
+    bounded memory, engine.compute_streamed_exact).  ``mesh`` shards the
+    count production over the pod — same bytes, N devices of count
+    throughput."""
     with phase_timer("Banded exact + CSV ", enabled=verbose):
         compute_streamed_exact(
             presence,
@@ -291,6 +293,7 @@ def _banded_exact_run(args, presence, pairs, verbose, resume) -> None:
             row_denom_ids=pairs.row_denom_ids,
             col_denom_ids=pairs.col_denom_ids,
             staged=args.staged or None,
+            mesh=mesh,
         )
     if verbose:
         print(
@@ -320,11 +323,12 @@ def run(argv: list[str] | None = None) -> int:
                 "--exact selects the banded exact engine and requires "
                 "--streamed (the default path is already exact)",
             )
-        if args.exact and (args.approx or args.precise or args.mesh):
+        if args.exact and (args.approx or args.precise):
             raise PFAAIError(
                 ErrorCode.CONSTRUCT_ERROR,
-                "--exact is f64 single-device by definition; it cannot "
-                "combine with --approx/--precise/--mesh",
+                "--exact is f64 by definition; it cannot combine with "
+                "--approx/--precise (--mesh is fine: integer counts are "
+                "exact on any sharding)",
             )
         if args.staged and not (args.fast or args.streamed):
             # The default exact path holds only integer count blocks, not
@@ -493,7 +497,9 @@ def run(argv: list[str] | None = None) -> int:
                     parts[0], parts[1] if len(parts) > 1 else 1
                 )
             if args.exact:
-                _banded_exact_run(args, presence, pairs, verbose, args.resume)
+                _banded_exact_run(
+                    args, presence, pairs, verbose, args.resume, mesh=mesh
+                )
                 if profiler is not None:
                     profiler.stop_trace()
                 return 0

@@ -75,17 +75,23 @@ def test_aji_to_csv_streamed_exact(subset1_db, data_dir, tmp_path):
 
 
 def test_streamed_exact_rejects_contradictory_args(subset1_db, tmp_path):
-    """engine='streamed-exact' + approx/precise/mesh must raise (the CLI
-    rejects the same combinations; the two front doors must agree)."""
+    """engine='streamed-exact' + approx/precise must raise (the CLI rejects
+    the same combinations; the two front doors must agree).  ``mesh``
+    composes (r5): the mesh-sharded count production is byte-identical."""
     import pytest
 
     import parfastaai_tpu.api as pfa
     from parfastaai_tpu.types import PFAAIError
 
     out = str(tmp_path / "o.csv")
-    for kw in ({"approx": True}, {"precise": True}, {"mesh": (1, 1)}):
+    for kw in ({"approx": True}, {"precise": True}):
         with pytest.raises(PFAAIError):
             pfa.aji_to_csv(out, subset1_db, engine="streamed-exact", **kw)
+    # mesh is accepted and byte-identical to the meshless banded run.
+    ref = str(tmp_path / "ref.csv")
+    pfa.aji_to_csv(ref, subset1_db, engine="streamed-exact")
+    pfa.aji_to_csv(out, subset1_db, engine="streamed-exact", mesh=(2, 2))
+    assert open(out, "rb").read() == open(ref, "rb").read()
 
 
 def test_api_staged_passthrough(subset1_db, tmp_path, monkeypatch):

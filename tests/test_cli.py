@@ -198,12 +198,26 @@ def test_streamed_exact_cli_byte_identical_to_golden(data_dir, tmp_path):
 
 
 def test_exact_flag_validation(data_dir, tmp_path, capsys):
-    """--exact requires --streamed and excludes the f32 kernel selectors."""
+    """--exact requires --streamed and excludes the f32 kernel selectors;
+    --mesh composes with it (mesh-parallel count production, same bytes)."""
     db = f"{data_dir}/xdb_subset1.db"
     out = str(tmp_path / "o.csv")
     assert run([db, out, "--quiet", "--exact"]) != 0
     assert run([db, out, "--quiet", "--streamed", "--exact", "--approx"]) != 0
-    assert run([db, out, "--quiet", "--streamed", "--exact", "--mesh", "1"]) != 0
+    assert run([db, out, "--quiet", "--streamed", "--exact", "--precise"]) != 0
+    capsys.readouterr()
+
+
+def test_exact_mesh_cli(data_dir, tmp_path, capsys):
+    """--streamed --exact --mesh 2,2 writes the golden CSV byte-for-byte
+    (VERDICT r4 missing #1: exactness composes with multi-device)."""
+    db = f"{data_dir}/xdb_subset1.db"
+    out = tmp_path / "o.csv"
+    rc = run([db, str(out), "--quiet", "--streamed", "--exact",
+              "--mesh", "2,2", "--band", "2", "--col-chunk", "3"])
+    assert rc == 0
+    ref = open(f"{data_dir}/xdb_subset1_aji_matrix_wheader.csv", "rb").read()
+    assert out.read_bytes() == ref
     capsys.readouterr()
 
 
