@@ -88,9 +88,117 @@ def jaccard_finish(
 # PARFASTAAI_HOST_MAC_RATE / PARFASTAAI_WIRE_MBPS retune the model without
 # code edits on hosts whose BLAS or relay differ.
 HOST_WORK_LIMIT = int(4e9)
-HOST_MAC_RATE = 7.1e9  # f64 MAC/s, measured low end (G<=512)
-WIRE_MBPS = 23.0  # MB/s, measured steady-state host<->device
+HOST_MAC_RATE = 7.1e9  # f64 MAC/s fallback, measured low end (G<=512)
+WIRE_MBPS = 23.0  # MB/s fallback, measured steady-state host<->device
 DEVICE_OVERHEAD_S = 0.5
+
+_dispatch_cal: dict = {}
+
+# Upper bound on ANY host<->device path (local PCIe-class): used for the
+# device-probe-free early exit below.  If the host wins even against this,
+# no wire measurement can change the answer — so tiny parity-scale runs
+# never touch (or even initialize) the device just to decide to skip it
+# (measured on the relay: first device contact can stall minutes on a bad
+# day, which would be a regression for runs the host finishes in ms).
+OPTIMISTIC_WIRE_BPS = 16e9
+
+
+def _dispatch_rates(probe_wire: bool = True):
+    """(host f64 MAC/s, wire bytes/s | None) for the dispatch cost model.
+
+    Resolution order: env overrides (PARFASTAAI_HOST_MAC_RATE /
+    PARFASTAAI_WIRE_MBPS) > in-process memo > cached one-shot calibration
+    of THIS host + relay > a fresh probe > the module fallback constants.
+    The baked constants were 2026-08-20 measurements of one relay host
+    (VERDICT r4 weak #3): on any other machine they silently mis-route
+    borderline problems, so a new host measures its own BLAS rate (three
+    small f64 Grams, ~100 ms, host-only) and wire rate (two 1 MB
+    round-trips, second one timed — the first absorbs connection setup)
+    and caches them in the jit-cache directory keyed by hostname + device
+    kind.  ``probe_wire=False`` never touches the device: the wire slot is
+    None unless env-set or already cached (callers early-exit against
+    OPTIMISTIC_WIRE_BPS first).  PARFASTAAI_RECALIBRATE=1 forces a
+    re-probe."""
+    import json
+    import os
+    import socket
+    import time
+
+    host_env = os.environ.get("PARFASTAAI_HOST_MAC_RATE")
+    wire_env = os.environ.get("PARFASTAAI_WIRE_MBPS")
+    if host_env is not None and wire_env is not None:
+        return float(host_env), float(wire_env) * 1e6
+
+    from .utils.jitcache import cache_dir
+
+    path = os.path.join(cache_dir(), "dispatch_cal.json")
+
+    def _cal_key() -> str:
+        import jax
+
+        return f"{socket.gethostname()}|{jax.devices()[0].device_kind}"
+
+    if "host" not in _dispatch_cal:
+        try:
+            # Host BLAS probe: the small-G shape class _use_host's model
+            # describes (G <= 512 f64 Grams), best of 3.
+            pp, gg, kk = 8, 256, 512
+            a = np.random.default_rng(0).random((pp, gg, kk))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                a @ a.transpose(0, 2, 1)
+                best = min(best, time.perf_counter() - t0)
+            _dispatch_cal["host"] = pp * gg * gg * kk / max(best, 1e-9)
+        except Exception:
+            _dispatch_cal["host"] = HOST_MAC_RATE
+    host_rate = _dispatch_cal["host"]
+
+    wire = _dispatch_cal.get("wire")
+    if wire is None:
+        # Cached wire measurement from a previous process on this host?
+        # (Reading the cache file requires the device kind, i.e. backend
+        # init — defer even that until a wire decision is actually needed.)
+        if probe_wire and not os.environ.get("PARFASTAAI_RECALIBRATE"):
+            try:
+                with open(path) as fp:
+                    cached = json.load(fp).get(_cal_key())
+                if cached is not None:
+                    wire = float(cached[1])
+            except Exception:
+                wire = None
+        if wire is None and probe_wire:
+            import jax
+
+            try:
+                buf = np.zeros(1 << 20, np.uint8)
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    np.asarray(jax.device_put(buf))
+                    dt = max(time.perf_counter() - t0, 1e-9)
+                    wire = 2 * len(buf) / dt  # up + down
+            except Exception:
+                wire = WIRE_MBPS * 1e6
+            else:
+                try:
+                    data = {}
+                    if os.path.exists(path):
+                        with open(path) as fp:
+                            data = json.load(fp)
+                    data[_cal_key()] = [host_rate, wire]
+                    tmp = path + ".tmp"
+                    with open(tmp, "w") as fp:
+                        json.dump(data, fp)
+                    os.replace(tmp, path)
+                except Exception:
+                    pass
+        if wire is not None:
+            _dispatch_cal["wire"] = wire
+    if host_env is not None:
+        host_rate = float(host_env)
+    if wire_env is not None:
+        wire = float(wire_env) * 1e6
+    return host_rate, wire
 
 
 def _use_host(presence: PresenceData, download_bytes: int = 0) -> bool:
@@ -113,10 +221,21 @@ def _use_host(presence: PresenceData, download_bytes: int = 0) -> bool:
         # legacy threshold (~2 s of host BLAS) under which numpy beats a jit
         # round-trip.
         return macs <= HOST_WORK_LIMIT
-    host_rate = float(os.environ.get("PARFASTAAI_HOST_MAC_RATE", HOST_MAC_RATE))
-    wire = float(os.environ.get("PARFASTAAI_WIRE_MBPS", WIRE_MBPS)) * 1e6
+    host_rate, wire = _dispatch_rates(probe_wire=False)
     host_s = macs / host_rate
     upload_bytes = P * G * K / 8  # packed-bit presence (upload_presence)
+    if wire is None:
+        # Device-free early exit: if the host wins even against a
+        # PCIe-class wire, no measurement can flip the answer — don't
+        # initialize the device (possibly minutes on a bad relay day)
+        # just to decide not to use it.
+        if (
+            host_s
+            <= (upload_bytes + download_bytes) / OPTIMISTIC_WIRE_BPS
+            + DEVICE_OVERHEAD_S
+        ):
+            return True
+        _, wire = _dispatch_rates()  # now the wire rate actually matters
     device_s = (upload_bytes + download_bytes) / wire + DEVICE_OVERHEAD_S
     return host_s <= device_s
 

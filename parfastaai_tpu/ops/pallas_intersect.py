@@ -250,6 +250,57 @@ def _sym_kernel_2p_lean(
         _lean_update(p_i, cnt, ta_ref, tb_ref, s_ref, n_ref, approx, precise)
 
 
+def _sym_kernel_2p_pipe(
+    rows_ref, cols_ref, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref,
+    cprev_ref, *, nsteps, approx=False, precise=False,
+):
+    """Cross-step MXU/VPU software-pipelining EXPERIMENT (VERDICT r4 weak
+    #1: the one untried lever between lean's 0.78 MFU and the 0.860
+    counts-only machinery ceiling, docs/DESIGN.md §6.1).
+
+    The lean body exposes ~half the VPU transform because each step's
+    transform DEPENDS on the grams it just issued.  Here step p issues its
+    two MXU grams first and then transforms step p-1's counts, carried in
+    a VMEM scratch across the protein grid steps — the transform is
+    data-independent of the in-flight grams, giving Mosaic's scheduler the
+    chance to hide the VPU cycles under the MXU/DMA time it does not
+    software-pipeline on its own.  The last step transforms both the
+    carried and its own counts.  Accumulation into (S, N) stays ascending
+    protein order within each output tile, so results are bit-identical to
+    the lean body.  +2 MB VMEM for the carried count pair at tile=512.
+    Adopt-if->+2% A/B on hardware; otherwise a recorded dead end (the
+    family's decision standard)."""
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _():
+        s_ref[:] = jnp.zeros_like(s_ref)
+        n_ref[:] = jnp.zeros_like(n_ref)
+
+    cnt0 = _gram(ma_ref[0], mb_ref[0], False)
+    cnt1 = _gram(ma_ref[1], mb_ref[1], False)
+
+    @pl.when(p > 0)
+    def _():
+        _lean_update(2 * p - 2, cprev_ref[0, :, :], ta_ref, tb_ref, s_ref,
+                     n_ref, approx, precise)
+        _lean_update(2 * p - 1, cprev_ref[1, :, :], ta_ref, tb_ref, s_ref,
+                     n_ref, approx, precise)
+
+    if nsteps > 1:
+        @pl.when(p < nsteps - 1)
+        def _():
+            cprev_ref[0, :, :] = cnt0
+            cprev_ref[1, :, :] = cnt1
+
+    @pl.when(p == nsteps - 1)
+    def _():
+        _lean_update(2 * p, cnt0, ta_ref, tb_ref, s_ref, n_ref, approx,
+                     precise)
+        _lean_update(2 * p + 1, cnt1, ta_ref, tb_ref, s_ref, n_ref, approx,
+                     precise)
+
+
 def _sym_kernel_2p(
     rows_ref, cols_ref, ma_ref, mb_ref, ta_ref, tb_ref, s_ref, n_ref, *,
     approx=False, precise=False, f32gram=False,
@@ -425,8 +476,20 @@ def _pallas_sn_sym_2p(
             pl.BlockSpec((tile, tile), lambda q, p, r, c: (r[q], c[q])),
             pl.BlockSpec((tile, tile), lambda q, p, r, c: (r[q], c[q])),
         ],
+        # The pipe experiment carries the previous step's count pair
+        # across protein grid steps (see _sym_kernel_2p_pipe).
+        scratch_shapes=(
+            [pltpu.VMEM((2, tile, tile), jnp.int32)]
+            if variant == "pipe"
+            else []
+        ),
     )
-    if variant in ("base", "f32gram"):
+    if variant == "pipe":
+        kernel = functools.partial(
+            _sym_kernel_2p_pipe, nsteps=P // 2, approx=approx,
+            precise=precise,
+        )
+    elif variant in ("base", "f32gram"):
         kernel = functools.partial(
             _sym_kernel_2p, approx=approx, precise=precise,
             f32gram=(variant == "f32gram"),
@@ -1224,6 +1287,7 @@ def pallas_fused_aji(
     approx: bool = False,
     packed: bool = False,
     precise: bool = False,
+    variant: str = "lean",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused AJI via the Pallas tile kernel; pads G to the tile size.
 
@@ -1270,7 +1334,8 @@ def pallas_fused_aji(
         # VMEM footprint, so the K window halves and the tile is chosen
         # against the doubled model width.
         s, n = _pallas_sn_sym_2p(
-            m, t, tile=tile, approx=approx, precise=precise
+            m, t, tile=tile, approx=approx, precise=precise,
+            variant=variant,
         )
     else:
         s, n = (_pallas_sn_sym if symmetric else _pallas_sn)(

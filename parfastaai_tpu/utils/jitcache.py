@@ -9,16 +9,22 @@ from __future__ import annotations
 import os
 
 
-def enable_compilation_cache() -> None:
-    import jax
-
-    cache_dir = os.environ.get(
+def cache_dir() -> str:
+    """The persistent cache directory (also holds the one-shot dispatch
+    calibration, engine._dispatch_rates).  Created on first use."""
+    path = os.environ.get(
         "PARFASTAAI_JIT_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "parfastaai_tpu_jit"),
     )
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def enable_compilation_cache() -> None:
+    import jax
+
     try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_compilation_cache_dir", cache_dir())
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass  # the cache is an optimization; never fail the run over it

@@ -336,6 +336,26 @@ def test_pallas_two_proteins_per_step_matches():
         np.testing.assert_array_equal(np.asarray(s_b), np.asarray(ref_s))
 
 
+def test_pallas_2p_pipe_variant_bit_identical():
+    """The r5 cross-step pipelining experiment (_sym_kernel_2p_pipe: step p
+    transforms step p-1's scratch-carried counts) must be bit-identical to
+    the lean default — same terms, same ascending-protein accumulation
+    order — including odd P (zero-protein pad) and the single-step P=2
+    degenerate (no carry at all)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from parfastaai_tpu.ops.pallas_intersect import _pallas_sn_sym_2p
+
+    for P in (2, 3, 6):
+        m, t = _rand_presence(P=P, G=384, K=256, seed=12)
+        md, td = jnp.asarray(m), jnp.asarray(t)
+        with pltpu.force_tpu_interpret_mode():
+            ref_s, ref_n = _pallas_sn_sym_2p(md, td, tile=128)
+            s, n = _pallas_sn_sym_2p(md, td, tile=128, variant="pipe")
+        np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(ref_s))
+
+
 def test_pallas_band_decomposition_matches_full():
     """The affine band-per-row symmetric variant equals the full grid."""
     from jax.experimental.pallas import tpu as pltpu
