@@ -265,6 +265,36 @@ def main_kb() -> None:
         f"K={K} would take the single-block kernel; the kb bench exists for "
         f"K > {MAX_K_SINGLE_BLOCK}"
     )
+    # Kernel-variant selection for the optimization experiments (VERDICT r4
+    # missing #3 follow-up: the first measurement landed 0.40 MFU, so the
+    # k_block / tile space needs mapping):
+    #   prod (default) — the production entry pallas_fused_sn_block
+    #     (auto_tile, k_block=K_BLOCK);
+    #   base — _pallas_sn_rect_kb directly with PARFASTAAI_BENCH_KB_TILE /
+    #     PARFASTAAI_BENCH_KB_KBLOCK overrides (k_block must divide the
+    #     padded K).
+    kb_variant = os.environ.get("PARFASTAAI_BENCH_KB_VARIANT", "prod")
+    kb_tile = int(os.environ.get("PARFASTAAI_BENCH_KB_TILE", "0"))
+    kb_kblock = int(os.environ.get("PARFASTAAI_BENCH_KB_KBLOCK", "0"))
+    if kb_variant == "prod":
+        from parfastaai_tpu.constants import KERNEL_K_BLOCK
+
+        step_fn = pallas_fused_sn_block
+        tile = auto_tile(max(A, B), KERNEL_K_BLOCK)
+        eff_kblock = KERNEL_K_BLOCK  # what the kernel grid contracts over
+    else:
+        from parfastaai_tpu.ops.pallas_intersect import (
+            _interpret_mode,
+            _pallas_sn_rect_kb,
+        )
+
+        eff_kblock = kb_kblock or K_BLOCK
+        tile = kb_tile or auto_tile(max(A, B), eff_kblock)
+        step_fn = functools.partial(
+            _pallas_sn_rect_kb, tile=tile, k_block=eff_kblock,
+            interpret=_interpret_mode(),
+        )
+
     rng = np.random.default_rng(0)
     # Same per-protein occupancy statistics as the headline bench (~400 of
     # 1280): what matters for the kernel is the int8 tensor shape, not the
@@ -288,7 +318,7 @@ def main_kb() -> None:
 
         def body(carry, step):
             mdl, mbl = carry
-            s, n = pallas_fused_sn_block(mdl, mbl, tad, tbd)
+            s, n = step_fn(mdl, mbl, tad, tbd)
             drive = n[0, 0].astype(jnp.int32) + step
             fl = (
                 (
@@ -321,9 +351,8 @@ def main_kb() -> None:
         return best
 
     per_iter = (timed(s_long) - timed(s_short)) / (s_long - s_short)
-    # MACs the kernel issues: K pads to a K_BLOCK multiple, A/B to the tile.
-    tile = auto_tile(max(A, B), K_BLOCK)
-    kp = -(-K // K_BLOCK) * K_BLOCK
+    # MACs the kernel issues: K pads to a k_block multiple, A/B to the tile.
+    kp = -(-K // eff_kblock) * eff_kblock
     ap = -(-A // tile) * tile
     bp = -(-B // tile) * tile
     mxu_macs = P * ap * bp * kp
@@ -334,8 +363,8 @@ def main_kb() -> None:
         json.dumps(
             {
                 "metric": "genome-pairs/sec/chip (K-blocked rect S/N, "
-                "P=%d A=%d B=%d K=%d tile=%d, impl=pallas-kb)"
-                % (P, A, B, K, tile),
+                "P=%d A=%d B=%d K=%d tile=%d kb=%d %s, impl=pallas-kb)"
+                % (P, A, B, K, tile, eff_kblock, kb_variant),
                 "value": round(A * B / per_iter, 1),
                 "unit": "pairs/s",
                 "vs_baseline": round(

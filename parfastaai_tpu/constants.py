@@ -23,9 +23,19 @@ DEFAULT_TILE: int = 128
 # take over (ops/pallas_intersect).
 MAX_K_SINGLE_BLOCK: int = 32768
 
-# Contraction-axis block width of the K-blocked kernels.  Presence buckets
-# wider than MAX_K_SINGLE_BLOCK are padded to a K_BLOCK multiple HOST-side
+# HOST-side padding granularity for wide presence buckets.  Buckets wider
+# than MAX_K_SINGLE_BLOCK are padded to a K_BLOCK multiple host-side
 # (etl.database.bucket_bounds), so the kernels' in-jit _pad_k is a no-op —
 # a device-side pad of a multi-GB operand materializes a full HLO-temp
 # copy, which OOMed HBM on exactly the >HBM staged workloads it serves.
 K_BLOCK: int = 4096
+
+# Contraction-axis block width of the K-blocked KERNEL grids (divides
+# K_BLOCK, so host padding stays valid).  Measured on the bench chip
+# (2026-08-21, P=16 A=B=1024 K=51200 tile=512, salted-chain protocol):
+# 4096-wide blocks (2.1 MB each) ran at 0.40 MFU — per-step time ~ serial
+# DMA + MXU, i.e. the double buffering of the two input blocks no longer
+# overlapped; halving to 2048 (1 MB blocks) restored the overlap at
+# 0.804 MFU (2.0x), while 1024 dropped back to 0.68 (per-step overhead
+# exposure).  2048 is the measured optimum of this sweep.
+KERNEL_K_BLOCK: int = 2048

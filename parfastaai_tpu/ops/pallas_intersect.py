@@ -40,7 +40,7 @@ from ..constants import MAX_K_SINGLE_BLOCK
 # scratch; K is padded to a multiple (zero columns add 0 to every count —
 # normally pre-aligned host-side by etl.database.bucket_bounds, so the
 # in-jit _pad_k below is a no-op on the engine paths).
-from ..constants import K_BLOCK
+from ..constants import K_BLOCK, KERNEL_K_BLOCK
 
 
 def _interpret_mode() -> bool:
@@ -580,7 +580,8 @@ def _pad_k(m: jax.Array, k_block: int) -> jax.Array:
     jax.jit, static_argnames=("tile", "k_block", "approx", "precise")
 )
 def _pallas_sn_kb(
-    m: jax.Array, t: jax.Array, tile: int, k_block: int = K_BLOCK,
+    m: jax.Array, t: jax.Array, tile: int,
+    k_block: int = KERNEL_K_BLOCK,
     approx: bool = False, precise: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Full-grid square S/N for presence tensors wider than one VMEM block:
@@ -622,7 +623,8 @@ def _pallas_sn_kb(
     jax.jit, static_argnames=("tile", "k_block", "approx", "precise")
 )
 def _pallas_sn_sym_kb(
-    m: jax.Array, t: jax.Array, tile: int, k_block: int = K_BLOCK,
+    m: jax.Array, t: jax.Array, tile: int,
+    k_block: int = KERNEL_K_BLOCK,
     approx: bool = False, precise: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Upper-triangle-only variant of _pallas_sn_kb (scalar-prefetched tile
@@ -683,7 +685,8 @@ def _pallas_sn_sym_kb(
 )
 def _pallas_sn_rect_kb(
     ma: jax.Array, mb: jax.Array, ta: jax.Array, tb: jax.Array, tile: int,
-    k_block: int = K_BLOCK, approx: bool = False, precise: bool = False,
+    k_block: int = KERNEL_K_BLOCK, approx: bool = False,
+    precise: bool = False,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """K-blocked rectangular fused (S, N) — _pallas_sn_rect for K wider than
@@ -1157,7 +1160,7 @@ def pallas_fused_sn_block(
     interpret = _interpret_mode()
     blocked = K > MAX_K_SINGLE_BLOCK
     if tile is None:
-        tile = auto_tile(max(A, B), K_BLOCK if blocked else K)
+        tile = auto_tile(max(A, B), KERNEL_K_BLOCK if blocked else K)
     ap = -(-A // tile) * tile
     bp = -(-B // tile) * tile
     if ap != A:
@@ -1252,14 +1255,25 @@ def fused_aji_plan(
         and k_eff <= MAX_K_SINGLE_BLOCK // 4
     )
     if tile is None:
-        model_k = K_BLOCK if blocked else (2 * k_eff if two_per_step else k_eff)
+        model_k = (
+            KERNEL_K_BLOCK if blocked
+            else (2 * k_eff if two_per_step else k_eff)
+        )
         tile = auto_tile(g, model_k, symmetric=symmetric)
     gp = ((g + tile - 1) // tile) * tile
     nt = gp // tile
     n_tiles = nt * (nt + 1) // 2 if symmetric else nt * nt
     pp = p + (p % 2) if two_per_step else p
     # Packed mode contracts two half-width dots => same MAC count as k.
-    kp = ((k + K_BLOCK - 1) // K_BLOCK) * K_BLOCK if blocked else k
+    # Padded K = what the kernel actually contracts: in-jit _pad_k aligns
+    # the GIVEN tensor to KERNEL_K_BLOCK.  (Host-side K_BLOCK bucket
+    # padding, where applied, already happened before the tensor got here,
+    # so its wider alignment is reflected in ``k`` itself.)
+    kp = (
+        ((k + KERNEL_K_BLOCK - 1) // KERNEL_K_BLOCK) * KERNEL_K_BLOCK
+        if blocked
+        else k
+    )
     mode = (
         "2p"
         if two_per_step

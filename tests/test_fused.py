@@ -416,12 +416,16 @@ def test_fused_aji_plan_matches_dispatch():
         plan = fused_aji_plan(p, g, k, symmetric=sym, packed=packed)
         assert plan["mode"] == want, (p, g, k, sym, packed, plan)
         # MAC accounting invariants: padded axes only ever grow, K-blocked
-        # kp is a whole number of K_BLOCKs, triu grids cover nt(nt+1)/2.
+        # kp is a whole number of kernel K blocks (KERNEL_K_BLOCK — the
+        # r5 measured optimum, 2x over the old K_BLOCK-wide grid), triu
+        # grids cover nt(nt+1)/2.
         assert plan["gp"] >= g and plan["gp"] % plan["tile"] == 0
         nt = plan["nt"]
         assert plan["n_tiles"] == (nt * (nt + 1) // 2 if sym else nt * nt)
         if plan["mode"].startswith("kb"):
-            assert plan["kp"] % K_BLOCK == 0 and plan["kp"] >= k
+            from parfastaai_tpu.constants import KERNEL_K_BLOCK
+
+            assert plan["kp"] % KERNEL_K_BLOCK == 0 and plan["kp"] >= k
         assert plan["mxu_macs"] == (
             plan["n_tiles"] * plan["tile"] ** 2 * plan["pp"] * plan["kp"]
         )
