@@ -268,8 +268,19 @@ def _sym_kernel_2p_pipe(
     carried and its own counts.  Accumulation into (S, N) stays ascending
     protein order within each output tile, so results are bit-identical to
     the lean body.  +2 MB VMEM for the carried count pair at tile=512.
-    Adopt-if->+2% A/B on hardware; otherwise a recorded dead end (the
-    family's decision standard)."""
+
+    RESULT (2026-08-21, interleaved A/B at G=4096 K=1280 tile=512, salted
+    chains, min-of-reps slope): lean 1.310/1.318G pairs/s (MFU
+    0.766/0.771) vs pipe 1.037/1.050G (0.606/0.614) — a consistent -21%.
+    DEAD END, recorded per the family's decision standard: carrying the
+    count pair through VMEM costs a 2 MB scratch write plus a 2 MB read
+    per step (~4 MB of extra VPU load/store against the ~2 MB the
+    transform otherwise touches), which swamps whatever MXU/VPU overlap
+    the decoupling buys.  With this, every identified lever between lean's
+    0.78 and the 0.860 machinery ceiling has been tried and measured; 0.78
+    stands as the certified practical ceiling of the single-block family
+    (the K-blocked family reaches 0.835 because its transform amortizes
+    over 25 K-blocks — see KERNEL_K_BLOCK)."""
     p = pl.program_id(1)
 
     @pl.when(p == 0)
