@@ -692,6 +692,40 @@ def main_e2e() -> None:
             phases["db_open"] + phases["etl"] + phases["banded_exact_csv"]
         )
 
+        # Mesh-sanity leg (PARFASTAAI_BENCH_EXACT_MESH="rows,scp"): the same
+        # banded exact run through the sharded count engine.  On the 1-chip
+        # bench slice only (1,1) is runnable; it must land within tunnel
+        # noise of the direct leg AND produce byte-identical CSV (the
+        # VERDICT r4 item-1 "mesh(1,1) sanity" on real hardware, matching
+        # the fused mesh bench's mesh==direct methodology).
+        mesh_spec = os.environ.get("PARFASTAAI_BENCH_EXACT_MESH")
+        if mesh_spec:
+            from parfastaai_tpu.parallel.mesh import make_mesh
+
+            rows_n, scp_n = (int(x) for x in mesh_spec.split(","))
+            mesh = make_mesh(rows_n, scp_n)
+            t0 = time.perf_counter()
+            compute_streamed_exact(
+                presence,
+                pairs.row_db_ids,
+                pairs.col_db_ids,
+                f"/tmp/pfaai_bench_e2e_{g}_exact_mesh.csv",
+                pairs.query_names,
+                pairs.target_names,
+                mesh=mesh,
+            )
+            phases["banded_exact_mesh_csv"] = round(
+                time.perf_counter() - t0, 2
+            )
+            with open(f"/tmp/pfaai_bench_e2e_{g}_exact.csv", "rb") as fa, \
+                    open(f"/tmp/pfaai_bench_e2e_{g}_exact_mesh.csv",
+                         "rb") as fb:
+                if fa.read() != fb.read():
+                    raise AssertionError(
+                        "mesh exact CSV differs from direct exact CSV"
+                    )
+            phases["banded_exact_mesh_bytes_identical"] = True
+
     n_pairs = g * (g - 1) // 2
     ref_seconds = n_pairs / BASELINE_PAIRS_PER_SEC
     main_wall = streamed_wall if streamed_only else fused_wall
