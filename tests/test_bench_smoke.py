@@ -72,3 +72,41 @@ def test_bench_mesh_mode_prints_curve(monkeypatch, capsys, tmp_path):
         assert math.isfinite(s["efficiency_vs_1chip"])
     assert math.isfinite(rec["direct_pairs_per_sec"])
     assert math.isfinite(rec["mesh_vs_direct_1chip"])
+
+
+def test_bench_e2e_mode_with_exact_and_mesh_legs(
+    monkeypatch, capsys, tmp_path
+):
+    """PARFASTAAI_BENCH_MODE=e2e at toy G on the CPU backend: one JSON line
+    with phases, wire-byte figures, the banded-exact leg, and the
+    mesh-sanity leg (PARFASTAAI_BENCH_EXACT_MESH) whose CSV must be
+    byte-identical to the direct exact leg — the structure the r5 refresh
+    records on hardware (BASELINE_MEASURED.json measured_2026_08_21)."""
+    monkeypatch.setenv("PARFASTAAI_BENCH_G", "64")
+    monkeypatch.setenv("PARFASTAAI_BENCH_DB", str(tmp_path / "synth64.db"))
+    monkeypatch.setenv("PARFASTAAI_BENCH_EXACT", "1")
+    monkeypatch.setenv("PARFASTAAI_BENCH_EXACT_MESH", "1,1")
+    monkeypatch.setenv("PARFASTAAI_JIT_CACHE", str(tmp_path / "jit"))
+    monkeypatch.delenv("PARFASTAAI_FORCE_DEVICE", raising=False)
+    sys.path.insert(0, REPO_ROOT)
+    try:
+        bench = importlib.import_module("bench")
+        bench.main_e2e()
+    finally:
+        sys.path.remove(REPO_ROOT)
+        os.environ.pop("PARFASTAAI_FORCE_DEVICE", None)  # set by main_e2e
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert len(lines) == 1, lines
+    rec = json.loads(lines[0])
+    assert rec["unit"] == "s"
+    ph = rec["phases"]
+    for key in ("db_open", "etl", "fused_aji", "csv", "streamed_aji_csv",
+                "banded_exact_csv", "banded_exact_mesh_csv"):
+        assert key in ph, key
+    assert ph["banded_exact_mesh_bytes_identical"] is True
+    wire = rec["wire_bytes"]
+    # P=80, G=64: packed presence = 80*64*K/8 with K the compacted width.
+    assert wire["upload_packed_presence_bytes"] % (80 * 64 // 8) == 0
+    assert wire["streamed_download_bytes"] == 4 * (64 * 64 // 2)
+    assert wire["exact_download_bytes"] == 2 * 80 * (64 * 64 // 2)
+    assert rec["exact_wall_seconds"] > 0
