@@ -346,6 +346,24 @@ def run(argv: list[str] | None = None) -> int:
                 "--staged with --mesh requires --streamed (the staged-mesh "
                 "slab engine is a streamed-path engine)",
             )
+        if args.mesh:
+            # Validate the spec HERE, on every process, before any
+            # collective: a malformed --mesh that only the primary parses
+            # (the meta-only guard below) would otherwise kill the primary
+            # while the non-primaries sit in the presence broadcast.
+            try:
+                mesh_parts = [int(x) for x in args.mesh.split(",")]
+                mesh_ok = len(mesh_parts) in (1, 2) and all(
+                    p >= 1 for p in mesh_parts
+                )
+            except ValueError:
+                mesh_ok = False
+            if not mesh_ok:
+                raise PFAAIError(
+                    ErrorCode.CONSTRUCT_ERROR,
+                    "--mesh expects ROWS or ROWS,SCP (positive integers), "
+                    f"got {args.mesh!r}",
+                )
         if (args.approx or args.precise) and not (args.fast or args.streamed):
             # The divide selectors act on the fused Pallas kernel only; the
             # exact path (and --mesh's XLA-scan path) always uses the IEEE
@@ -475,20 +493,27 @@ def run(argv: list[str] | None = None) -> int:
                 and args.streamed
                 and args.mesh
             ):
-                from .engine import _use_host, _use_staged_mesh
+                # Primary-only code before broadcast_presence: any raise
+                # here must funnel through err (the broadcast's error slot)
+                # or the non-primaries hang in the broadcast collective.
+                try:
+                    from .engine import _use_host, _use_staged_mesh
 
-                parts = [int(x) for x in args.mesh.split(",")]
-                # _use_host guard: the f32 streamed path routes
-                # host-trivial problems to host BLAS even under --mesh,
-                # and that path needs the full tensor everywhere (--exact
-                # always takes the mesh branch, so it skips the guard).
-                meta_only = (
-                    args.exact or not _use_host(presence)
-                ) and _use_staged_mesh(
-                    presence,
-                    parts[1] if len(parts) > 1 else 1,
-                    args.staged or None,
-                )
+                    parts = [int(x) for x in args.mesh.split(",")]
+                    # _use_host guard: the f32 streamed path routes
+                    # host-trivial problems to host BLAS even under --mesh,
+                    # and that path needs the full tensor everywhere
+                    # (--exact always takes the mesh branch, so it skips
+                    # the guard).
+                    meta_only = (
+                        args.exact or not _use_host(presence)
+                    ) and _use_staged_mesh(
+                        presence,
+                        parts[1] if len(parts) > 1 else 1,
+                        args.staged or None,
+                    )
+                except Exception as e:  # noqa: BLE001 — see DB open above
+                    err = _as_pfaai_error(e)
             with phase_timer("Presence broadcast ", enabled=verbose):
                 presence = broadcast_presence(
                     presence, error=err, meta_only=meta_only

@@ -27,6 +27,8 @@ Two paths:
 
 from __future__ import annotations
 
+import os
+
 from functools import partial
 
 import jax
@@ -129,30 +131,41 @@ def _dispatch_rates(probe_wire: bool = True):
     if host_env is not None and wire_env is not None:
         return float(host_env), float(wire_env) * 1e6
 
-    from .utils.jitcache import cache_dir
+    try:
+        from .utils.jitcache import cache_dir
 
-    path = os.path.join(cache_dir(), "dispatch_cal.json")
+        path = os.path.join(cache_dir(), "dispatch_cal.json")
+    except Exception:
+        # Unwritable cache dir (read-only $HOME): calibration still works,
+        # it just isn't persisted — the dispatch decision must never abort
+        # the run over an optimization's storage.
+        path = None
 
     def _cal_key() -> str:
         import jax
 
         return f"{socket.gethostname()}|{jax.devices()[0].device_kind}"
 
-    if "host" not in _dispatch_cal:
-        try:
-            # Host BLAS probe: the small-G shape class _use_host's model
-            # describes (G <= 512 f64 Grams), best of 3.
-            pp, gg, kk = 8, 256, 512
-            a = np.random.default_rng(0).random((pp, gg, kk))
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                a @ a.transpose(0, 2, 1)
-                best = min(best, time.perf_counter() - t0)
-            _dispatch_cal["host"] = pp * gg * gg * kk / max(best, 1e-9)
-        except Exception:
-            _dispatch_cal["host"] = HOST_MAC_RATE
-    host_rate = _dispatch_cal["host"]
+    if host_env is not None:
+        # Env override: skip the probe entirely (it was previously run and
+        # then shadowed — pure wasted startup work per process).
+        host_rate = float(host_env)
+    else:
+        if "host" not in _dispatch_cal:
+            try:
+                # Host BLAS probe: the small-G shape class _use_host's model
+                # describes (G <= 512 f64 Grams), best of 3.
+                pp, gg, kk = 8, 256, 512
+                a = np.random.default_rng(0).random((pp, gg, kk))
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    a @ a.transpose(0, 2, 1)
+                    best = min(best, time.perf_counter() - t0)
+                _dispatch_cal["host"] = pp * gg * gg * kk / max(best, 1e-9)
+            except Exception:
+                _dispatch_cal["host"] = HOST_MAC_RATE
+        host_rate = _dispatch_cal["host"]
 
     wire = _dispatch_cal.get("wire")
     if wire is None:
@@ -185,7 +198,10 @@ def _dispatch_rates(probe_wire: bool = True):
                     if os.path.exists(path):
                         with open(path) as fp:
                             data = json.load(fp)
-                    data[_cal_key()] = [host_rate, wire]
+                    # Store the PROBED host rate (never an env override —
+                    # only cached[1] is read back, and recording a value
+                    # the user pinned would be misleading).
+                    data[_cal_key()] = [_dispatch_cal.get("host"), wire]
                     tmp = path + ".tmp"
                     with open(tmp, "w") as fp:
                         json.dump(data, fp)
@@ -194,8 +210,6 @@ def _dispatch_rates(probe_wire: bool = True):
                     pass
         if wire is not None:
             _dispatch_cal["wire"] = wire
-    if host_env is not None:
-        host_rate = float(host_env)
     if wire_env is not None:
         wire = float(wire_env) * 1e6
     return host_rate, wire
@@ -347,7 +361,7 @@ def compute(presence: PresenceData, pairs: PairSpace) -> JacResult:
     # Counts are bounded by max(T); use int16 when safe to halve the one
     # device->host transfer.  The same dtype sizes the download term of the
     # dispatch cost model.
-    out_dtype = jnp.int16 if int(presence.t.max()) < 2**15 else jnp.int32
+    out_dtype = _count_wire_dtype(presence)
     dl_bytes = pairs.n_pairs * presence.m.shape[0] * np.dtype(out_dtype).itemsize
     if _use_host(presence, download_bytes=dl_bytes):
         counts = _pair_counts_host(presence.m, pairs.db_a, pairs.db_b)
@@ -696,6 +710,20 @@ def _use_staged_mesh(
     )
 
 
+def _mesh_key(mesh) -> tuple:
+    """Cache-key identity of a device mesh: backend + shape + the exact
+    device assignment.  Device ids matter — a same-shape Mesh over different
+    devices must not reuse programs/slabs sharded for the first mesh
+    (ADVICE r4).  Single source for every mesh-keyed cache below."""
+    import jax
+
+    return (
+        jax.default_backend(),
+        tuple(sorted(mesh.shape.items())),
+        tuple(d.id for d in mesh.devices.flat),
+    )
+
+
 def _mesh_slab_store(presence: PresenceData, mesh):
     """Mesh twin of _slab_store: presence slabs live SHARDED over the
     (rows, scp) mesh, so cached capacity — and therefore genome capacity —
@@ -724,14 +752,7 @@ def _mesh_slab_store(presence: PresenceData, mesh):
         presence._mesh_slab_store_cache = stores
     from jax.sharding import NamedSharding, PartitionSpec as Spec
 
-    # Device ids are part of the key: a same-shape Mesh over a different
-    # device assignment must not reuse slabs sharded for the first mesh
-    # (ADVICE r4).
-    store_key = (
-        jax.default_backend(),
-        tuple(sorted(mesh.shape.items())),
-        tuple(d.id for d in mesh.devices.flat),
-    )
+    store_key = _mesh_key(mesh)
     if store_key in stores:
         return stores[store_key]
     from collections import OrderedDict
@@ -826,11 +847,7 @@ def _staged_mesh_block_engine(
     from .parallel.mesh import use_pallas_on_mesh
 
     use_pallas_mesh = use_pallas_on_mesh()
-    key = (
-        approx, precise, use_pallas_mesh, jax.default_backend(),
-        tuple(sorted(mesh.shape.items())),
-        tuple(d.id for d in mesh.devices.flat),  # ADVICE r4: not just shape
-    )
+    key = (approx, precise, use_pallas_mesh, *_mesh_key(mesh))
     if key in cache:
         return cache[key]
 
@@ -1006,7 +1023,7 @@ def _staged_count_engine(presence: PresenceData):
     order, bounds = bucket_bounds(presence.widths)
     plan = [(order[k:i], kb) for k, i, kb in bounds]
     fetch = _slab_store(presence)
-    out_dtype = jnp.int16 if int(presence.t.max()) < 2**15 else jnp.int32
+    out_dtype = _count_wire_dtype(presence)
 
     @jax.jit
     def slab_counts(ma, mb):
@@ -1061,7 +1078,7 @@ def _bucket_count_engine(presence: PresenceData):
         return cache[key]
 
     buckets = _device_buckets(presence)
-    out_dtype = jnp.int16 if int(presence.t.max()) < 2**15 else jnp.int32
+    out_dtype = _count_wire_dtype(presence)
 
     @partial(jax.jit, static_argnames=("nb", "nc"))
     def bucket_counts(md, rids, cids, nb, nc):
@@ -1089,14 +1106,26 @@ def _bucket_count_engine(presence: PresenceData):
     return block_counts
 
 
-def _mesh_count_key(mesh) -> tuple:
-    import jax
+def _count_wire_dtype(presence: PresenceData):
+    """Narrowest dtype that can carry every intersection count on the wire
+    (counts are bounded by max(T); int16 halves the download bytes)."""
+    return jnp.int16 if int(presence.t.max()) < 2**15 else jnp.int32
 
-    return (
-        jax.default_backend(),
-        tuple(sorted(mesh.shape.items())),
-        tuple(d.id for d in mesh.devices.flat),
-    )
+
+def _count_scan_step(out_dtype):
+    """Per-protein integer Gram step shared by the mesh count engines: int8
+    operands contract with an int32 accumulator (MXU-native), then narrow
+    to the wire dtype.  Exact on any backend/sharding."""
+
+    def step(_, inp):
+        mpa, mpb = inp
+        cnt = jax.lax.dot_general(
+            mpa, mpb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return None, cnt.astype(out_dtype)
+
+    return step
 
 
 def _mesh_count_engine(presence: PresenceData, mesh):
@@ -1129,7 +1158,7 @@ def _mesh_count_engine(presence: PresenceData, mesh):
     if cache is None:
         cache = {}
         presence._mesh_count_cache = cache
-    key = _mesh_count_key(mesh)
+    key = _mesh_key(mesh)
     if key in cache:
         return cache[key]
 
@@ -1140,7 +1169,7 @@ def _mesh_count_engine(presence: PresenceData, mesh):
 
     n_scp = mesh.shape.get("scp", 1)
     shard3 = NamedSharding(mesh, Spec("scp", None, None))
-    out_dtype = jnp.int16 if int(presence.t.max()) < 2**15 else jnp.int32
+    out_dtype = _count_wire_dtype(presence)
     buckets = []
     for idx, m_b, _ in bucketize_presence(presence):
         pb = m_b.shape[0]
@@ -1155,15 +1184,9 @@ def _mesh_count_engine(presence: PresenceData, mesh):
             ma = jnp.take(md_l, rids_l, axis=1)
             mb = jnp.take(md_l, cids_l, axis=1)
 
-            def step(_, inp):
-                mpa, mpb = inp
-                cnt = jax.lax.dot_general(
-                    mpa, mpb, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                return None, cnt.astype(out_dtype)
-
-            _, out = jax.lax.scan(step, None, (ma, mb))
+            _, out = jax.lax.scan(
+                _count_scan_step(out_dtype), None, (ma, mb)
+            )
             return out
 
         return shard_map(
@@ -1195,7 +1218,7 @@ def _staged_mesh_count_engine(presence: PresenceData, mesh):
     if cache is None:
         cache = {}
         presence._staged_mesh_count_cache = cache
-    key = _mesh_count_key(mesh)
+    key = _mesh_key(mesh)
     if key in cache:
         return cache[key]
 
@@ -1207,20 +1230,14 @@ def _staged_mesh_count_engine(presence: PresenceData, mesh):
     order, bounds = bucket_bounds(presence.widths)
     plan = [(order[k:i], kb) for k, i, kb in bounds]
     fetch = _mesh_slab_store(presence, mesh)
-    out_dtype = jnp.int16 if int(presence.t.max()) < 2**15 else jnp.int32
+    out_dtype = _count_wire_dtype(presence)
 
     @jax.jit
     def slab_counts(ma, mb):
         def body(ma_l, mb_l):
-            def step(_, inp):
-                mpa, mpb = inp
-                cnt = jax.lax.dot_general(
-                    mpa, mpb, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                return None, cnt.astype(out_dtype)
-
-            _, out = jax.lax.scan(step, None, (ma_l, mb_l))
+            _, out = jax.lax.scan(
+                _count_scan_step(out_dtype), None, (ma_l, mb_l)
+            )
             return out
 
         return shard_map(
@@ -1560,7 +1577,18 @@ def compute_streamed(
     _meta_only = mesh is not None and getattr(
         presence, "slab_broadcast", False
     )
-    if not _meta_only and _use_host(presence):
+    _take_host = not _meta_only and _use_host(presence)
+    if jax.process_count() > 1:
+        # The auto-calibrated dispatch rates are per-process measurements
+        # (engine._dispatch_rates), so _use_host could diverge across the
+        # processes of one run — process A taking the collective-free host
+        # path while process B enters the mesh collectives is a deadlock.
+        # Process 0's decision wins everywhere (one tiny broadcast; every
+        # process reaches this line before any other collective).
+        from .parallel.distributed import broadcast_pyobj
+
+        _take_host = bool(broadcast_pyobj(_take_host))
+    if _take_host:
         _reject_approx(
             "this problem runs on host (set PARFASTAAI_FORCE_DEVICE=1)"
         )
@@ -1635,6 +1663,13 @@ def compute_streamed(
         n_scp = mesh.shape.get("scp", 1)
         band = -(-band // n_rows) * n_rows  # shardable bands
         staged_active = _use_staged_mesh(presence, n_scp, staged)
+        if jax.process_count() > 1:
+            # Same cross-process agreement as _take_host above: the HBM
+            # budget check can read different memory stats / env per host,
+            # and the staged-mesh engine's slab streaming is collective.
+            from .parallel.distributed import broadcast_pyobj
+
+            staged_active = bool(broadcast_pyobj(staged_active))
         if staged_active:
             # Presence exceeds even the scp-sharded per-device residency:
             # feed the mesh from on-demand sharded slabs instead (capacity
@@ -1793,6 +1828,11 @@ def compute_streamed(
 
     def _writer() -> None:
         try:
+            if os.environ.get("PARFASTAAI_TEST_WORKER_FAULT"):
+                # Fault-injection hook (tests only): see the exact path's
+                # _worker — proves a primary writer failure stops every
+                # process via the _abort() broadcast instead of hanging.
+                raise RuntimeError("injected csv-writer fault")
             while True:
                 item = write_q.get()
                 if item is None:
@@ -1869,9 +1909,25 @@ def compute_streamed(
     )
     try:
         if primary:
-            if not rows_done:
-                fp.write(header)
+            try:
+                if not rows_done:
+                    fp.write(header)
+            except BaseException as exc:
+                # Primary-only raise before the first _abort() broadcast
+                # would strand the other processes (see the exact path).
+                werr.append(exc)
             writer.start()
+
+        def _abort() -> bool:
+            # werr (the writer thread's failure) exists only on the
+            # primary; a multi-process run must agree to stop or the other
+            # processes hang in _dispatch's per-chunk gather collective the
+            # primary never joins.  One int64 broadcast per band.
+            flag = 1 if werr else 0
+            if multiproc:
+                flag = broadcast_from_primary(flag)
+            return bool(flag)
+
         pending = None  # (r0, rids, chunks) of the band one step behind
         for bi, r0 in enumerate(range(rows_done, len(row_ids), band)):
             rids, chunks = _dispatch(r0, staged_active and bi % 2 == 1)
@@ -1879,7 +1935,7 @@ def compute_streamed(
                 pr0, prids, pchunks = pending
                 write_q.put((pr0, _assemble(pr0, prids, pchunks)))
             pending = (r0, rids, chunks)
-            if werr:
+            if _abort():
                 break
         if pending is not None and primary and not werr:
             pr0, prids, pchunks = pending
@@ -1980,6 +2036,7 @@ def compute_streamed_exact(
     from .io.csv_writer import format_matrix
     from .parallel.distributed import (
         broadcast_from_primary,
+        broadcast_pyobj,
         gather_to_host,
         is_primary,
     )
@@ -2018,7 +2075,14 @@ def compute_streamed_exact(
         # the mesh overrides the host-BLAS dispatch by definition.
         use_host = False
         band = -(-band // mesh.shape["rows"]) * mesh.shape["rows"]
-        if _use_staged_mesh(presence, mesh.shape.get("scp", 1), staged):
+        _staged_mesh = _use_staged_mesh(
+            presence, mesh.shape.get("scp", 1), staged
+        )
+        if multiproc:
+            # Agree across processes (same rationale as compute_streamed:
+            # the two count engines have different collective patterns).
+            _staged_mesh = bool(broadcast_pyobj(_staged_mesh))
+        if _staged_mesh:
             block_counts = _staged_mesh_count_engine(presence, mesh)
         else:
             block_counts = _mesh_count_engine(presence, mesh)
@@ -2092,6 +2156,12 @@ def compute_streamed_exact(
 
     def _worker() -> None:
         try:
+            if os.environ.get("PARFASTAAI_TEST_WORKER_FAULT"):
+                # Fault-injection hook (tests only): prove a primary-side
+                # finish failure aborts the whole pod via the _abort()
+                # broadcast instead of stranding non-primaries in the
+                # gather collective.
+                raise RuntimeError("injected finish-worker fault")
             cur_r0 = -1
             cur_rids: np.ndarray | None = None
             rows_aji: np.ndarray | None = None
@@ -2163,10 +2233,30 @@ def compute_streamed_exact(
         if primary
         else None
     )
+    aborted = False
+
+    def _abort() -> bool:
+        # werr (the finish worker's failure) exists only on the primary; in
+        # a multi-process mesh run every process must agree to stop, or the
+        # survivors hang in the next gather collective the primary never
+        # joins.  One int64 broadcast per output block — negligible next to
+        # the gathered count bytes.  Call sites are placed so every process
+        # makes exactly one call per inner iteration.
+        flag = 1 if werr else 0
+        if multiproc:
+            flag = broadcast_from_primary(flag)
+        return bool(flag)
+
     try:
         if primary:
-            if not rows_done:
-                fp.write(header)
+            try:
+                if not rows_done:
+                    fp.write(header)
+            except BaseException as exc:
+                # A primary-only raise BEFORE the first _abort() broadcast
+                # would strand the other processes; route it through werr
+                # so the per-block protocol delivers the stop everywhere.
+                werr.append(exc)
             worker.start()
         for bi, r0 in enumerate(range(rows_done, len(row_ids), band)):
             rids = row_ids[r0 : r0 + band]
@@ -2188,7 +2278,8 @@ def compute_streamed_exact(
                             (r0, rids, drids, c0, nc, dcids, "mirror",
                              (ci, bi))
                         )
-                    if werr:
+                    if _abort():
+                        aborted = True
                         break
                     continue
                 if use_host:
@@ -2213,15 +2304,19 @@ def compute_streamed_exact(
                             if hasattr(dev, "copy_to_host_async"):
                                 dev.copy_to_host_async()
                 if not primary:
+                    if _abort():
+                        aborted = True
+                        break
                     continue
                 store_key = (bi, ci) if sym and ci > bi else None
                 work_q.put(
                     (r0, rids, drids, c0, nc, dcids, "counts",
                      (payload, store_key))
                 )
-                if werr:
+                if _abort():
+                    aborted = True
                     break
-            if werr:
+            if aborted:
                 break
     finally:
         if worker is not None and worker.is_alive():

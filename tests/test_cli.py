@@ -305,3 +305,19 @@ def test_exact_auto_routes_qt_mode(data_dir, tmp_path, monkeypatch):
         [float(v) for line in lines[1:] for v in line.split(",")[1:]]
     )
     np.testing.assert_array_equal(got, aji)
+
+
+def test_mesh_spec_validation(data_dir, tmp_path, capsys):
+    """A malformed --mesh is rejected on every process BEFORE any collective
+    (exit 3, no CSV): in a multi-process run, a spec that only the primary
+    parses would otherwise kill the primary while the non-primaries sit in
+    the presence broadcast."""
+    db = f"{data_dir}/xdb_subset1.db"
+    out = tmp_path / "o.csv"
+    # ("" is falsy and coherently means "no mesh" at every args.mesh site.)
+    for bad in ("bogus", "2,x", "0,1", "-2", "1,2,3"):
+        rc = run([db, str(out), "--quiet", "--streamed", "--mesh", bad])
+        assert rc == 3, bad
+        assert not out.exists(), bad
+    err = capsys.readouterr().err
+    assert "--mesh expects" in err

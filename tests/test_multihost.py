@@ -262,3 +262,99 @@ def test_broadcast_presence_chunked(combo12_db, tmp_path):
     one = tmp_path / "one.csv"
     assert _run_single([combo12_db, str(one), "--mesh", "4,2"]) == 0
     assert two.read_bytes() == one.read_bytes()
+
+
+def test_divergent_dispatch_calibration_cannot_deadlock(
+    combo12_db, tmp_path
+):
+    """The dispatch cost model is auto-calibrated PER PROCESS
+    (engine._dispatch_rates), so two processes of one run can disagree on
+    _use_host — one taking the collective-free host-BLAS path while the
+    other enters the mesh collectives, a deadlock.  compute_streamed
+    broadcasts process 0's decision, so even adversarially divergent
+    per-process knobs must complete and stay byte-identical to the
+    single-process run."""
+    port = _free_port()
+    two = tmp_path / "two.csv"
+    other = tmp_path / "nonprimary.csv"
+    mode_args = ["--streamed", "--mesh", "4,2", "--band", "4",
+                 "--col-chunk", "5"]
+    procs = []
+    for pid in range(2):
+        env = _env(
+            4,
+            {
+                "PARFASTAAI_COORDINATOR": f"127.0.0.1:{port}",
+                "PARFASTAAI_NUM_PROCESSES": "2",
+                "PARFASTAAI_PROCESS_ID": str(pid),
+                # Process 0 decides HOST; process 1, left to its own
+                # limit, would decide DEVICE/mesh.  (HOST_WORK_LIMIT is
+                # the first check in _use_host, backend-independent.)
+                "PARFASTAAI_HOST_WORK_LIMIT": (
+                    "1000000000000000" if pid == 0 else "0"
+                ),
+            },
+        )
+        out = two if pid == 0 else other
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "parfastaai_tpu.cli", "--quiet",
+                 combo12_db, str(out)] + mode_args,
+                env=env,
+                cwd=REPO,
+            )
+        )
+    codes = [p.wait(timeout=240) for p in procs]
+    assert codes == [0, 0]
+    assert two.exists() and not other.exists()
+
+    one = tmp_path / "one.csv"
+    assert (
+        _run_single([combo12_db, str(one)] + mode_args) == 0
+    )
+    assert two.read_bytes() == one.read_bytes()
+
+
+@pytest.mark.parametrize(
+    "mode_args",
+    [
+        ["--streamed", "--mesh", "4,2", "--band", "4", "--col-chunk", "5"],
+        ["--streamed", "--exact", "--mesh", "4,2", "--band", "4",
+         "--col-chunk", "5"],
+    ],
+    ids=["streamed_mesh", "exact_mesh"],
+)
+def test_primary_worker_fault_aborts_whole_pod(
+    combo12_db, tmp_path, mode_args
+):
+    """A primary-side finish/writer failure mid-run must stop EVERY process:
+    werr exists only on the primary, so without the per-band _abort()
+    broadcast the non-primaries would keep dispatching into gather
+    collectives the primary never joins and hang until the distributed
+    timeout.  PARFASTAAI_TEST_WORKER_FAULT injects the failure."""
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = _env(
+            4,
+            {
+                "PARFASTAAI_COORDINATOR": f"127.0.0.1:{port}",
+                "PARFASTAAI_NUM_PROCESSES": "2",
+                "PARFASTAAI_PROCESS_ID": str(pid),
+                "PARFASTAAI_TEST_WORKER_FAULT": "1",
+            },
+        )
+        out = tmp_path / f"out{pid}.csv"
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "parfastaai_tpu.cli", "--quiet",
+                 combo12_db, str(out)] + mode_args,
+                env=env,
+                cwd=REPO,
+            )
+        )
+    # Both processes must EXIT (the hang is the bug); the primary reports
+    # the failure, the non-primary stops cleanly.
+    codes = [p.wait(timeout=120) for p in procs]
+    assert codes[0] != 0, "primary must surface the injected fault"
+    assert codes[1] == 0, "non-primary must stop cleanly, not hang"
