@@ -218,3 +218,40 @@ def test_dispatch_auto_calibration(combo, monkeypatch, tmp_path):
     )
     monkeypatch.setenv("PARFASTAAI_WIRE_MBPS", "7")
     assert orig_rates() == (111.0, 7e6)
+
+
+def test_dispatch_rates_survive_unwritable_cache_dir(combo, monkeypatch):
+    """An unwritable jit-cache dir (read-only $HOME container) must degrade
+    the calibration to non-persistent, never abort the dispatch decision
+    (the cache is an optimization — jitcache.enable_compilation_cache's
+    contract, extended to _dispatch_rates)."""
+    from parfastaai_tpu.utils import jitcache
+
+    monkeypatch.delenv("PARFASTAAI_HOST_MAC_RATE", raising=False)
+    monkeypatch.delenv("PARFASTAAI_WIRE_MBPS", raising=False)
+    monkeypatch.setattr(engine, "_dispatch_cal", {})
+
+    def _boom() -> str:
+        raise PermissionError("read-only cache dir")
+
+    monkeypatch.setattr(jitcache, "cache_dir", _boom)
+    host, wire = engine._dispatch_rates(probe_wire=False)
+    assert host > 0 and wire is None
+
+
+def test_dispatch_rates_env_override_skips_probe(monkeypatch):
+    """PARFASTAAI_HOST_MAC_RATE alone must skip the BLAS probe entirely
+    (it used to run and be shadowed) — pinned by making the probe's RNG
+    explode."""
+    import numpy as np
+
+    monkeypatch.setenv("PARFASTAAI_HOST_MAC_RATE", "123456789.0")
+    monkeypatch.delenv("PARFASTAAI_WIRE_MBPS", raising=False)
+    monkeypatch.setattr(engine, "_dispatch_cal", {})
+
+    def _boom(*a, **k):
+        raise AssertionError("probe ran despite the env override")
+
+    monkeypatch.setattr(np.random, "default_rng", _boom)
+    host, wire = engine._dispatch_rates(probe_wire=False)
+    assert host == 123456789.0
