@@ -675,7 +675,11 @@ def main_e2e() -> None:
     # varies with the day's tunnel — the wire-byte figures below are the
     # cross-day-stable metric (VERDICT r4 weak #2).
     exact_wall = None
-    if os.environ.get("PARFASTAAI_BENCH_EXACT"):
+    # EXACT_MESH implies the direct exact leg (its CSV is the mesh leg's
+    # comparison baseline), so setting only the mesh knob still runs both.
+    if os.environ.get("PARFASTAAI_BENCH_EXACT") or os.environ.get(
+        "PARFASTAAI_BENCH_EXACT_MESH"
+    ):
         from parfastaai_tpu.engine import compute_streamed_exact
 
         t0 = time.perf_counter()
@@ -717,13 +721,17 @@ def main_e2e() -> None:
             phases["banded_exact_mesh_csv"] = round(
                 time.perf_counter() - t0, 2
             )
-            with open(f"/tmp/pfaai_bench_e2e_{g}_exact.csv", "rb") as fa, \
-                    open(f"/tmp/pfaai_bench_e2e_{g}_exact_mesh.csv",
-                         "rb") as fb:
-                if fa.read() != fb.read():
-                    raise AssertionError(
-                        "mesh exact CSV differs from direct exact CSV"
-                    )
+            import filecmp
+
+            # Chunked compare: these CSVs are multi-GB at bench scale.
+            if not filecmp.cmp(
+                f"/tmp/pfaai_bench_e2e_{g}_exact.csv",
+                f"/tmp/pfaai_bench_e2e_{g}_exact_mesh.csv",
+                shallow=False,
+            ):
+                raise AssertionError(
+                    "mesh exact CSV differs from direct exact CSV"
+                )
             phases["banded_exact_mesh_bytes_identical"] = True
 
     n_pairs = g * (g - 1) // 2

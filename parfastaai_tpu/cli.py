@@ -364,6 +364,10 @@ def run(argv: list[str] | None = None) -> int:
                     "--mesh expects ROWS or ROWS,SCP (positive integers), "
                     f"got {args.mesh!r}",
                 )
+            # Single parse point: every later site reads (rows, scp) from
+            # here instead of re-splitting the string.
+            mesh_rows = mesh_parts[0]
+            mesh_scp = mesh_parts[1] if len(mesh_parts) > 1 else 1
         if (args.approx or args.precise) and not (args.fast or args.streamed):
             # The divide selectors act on the fused Pallas kernel only; the
             # exact path (and --mesh's XLA-scan path) always uses the IEEE
@@ -499,7 +503,6 @@ def run(argv: list[str] | None = None) -> int:
                 try:
                     from .engine import _use_host, _use_staged_mesh
 
-                    parts = [int(x) for x in args.mesh.split(",")]
                     # _use_host guard: the f32 streamed path routes
                     # host-trivial problems to host BLAS even under --mesh,
                     # and that path needs the full tensor everywhere
@@ -508,9 +511,7 @@ def run(argv: list[str] | None = None) -> int:
                     meta_only = (
                         args.exact or not _use_host(presence)
                     ) and _use_staged_mesh(
-                        presence,
-                        parts[1] if len(parts) > 1 else 1,
-                        args.staged or None,
+                        presence, mesh_scp, args.staged or None
                     )
                 except Exception as e:  # noqa: BLE001 — see DB open above
                     err = _as_pfaai_error(e)
@@ -552,10 +553,7 @@ def run(argv: list[str] | None = None) -> int:
             if args.mesh:
                 from .parallel.mesh import make_mesh
 
-                parts = [int(x) for x in args.mesh.split(",")]
-                mesh = make_mesh(
-                    parts[0], parts[1] if len(parts) > 1 else 1
-                )
+                mesh = make_mesh(mesh_rows, mesh_scp)
             if args.exact:
                 _banded_exact_run(
                     args, presence, pairs, verbose, args.resume, mesh=mesh
@@ -607,9 +605,9 @@ def run(argv: list[str] | None = None) -> int:
             return 0
         with phase_timer("JAC + AJI          ", enabled=verbose):
             if args.mesh:
-                parts = [int(x) for x in args.mesh.split(",")]
-                n_rows, n_scp = parts[0], parts[1] if len(parts) > 1 else 1
-                result = compute_sharded(presence, pairs, n_rows, n_scp)
+                result = compute_sharded(
+                    presence, pairs, mesh_rows, mesh_scp
+                )
             elif args.fast:
                 result = compute_fast(
                     presence, pairs, approx=args.approx,

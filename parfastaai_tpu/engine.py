@@ -1804,6 +1804,14 @@ def compute_streamed(
     )
     _mirror_fits = len(row_ids) * len(col_ids) * 4 <= _mirror_budget
     sym_stream = _sym_layout and rows_done == 0 and _mirror_fits
+    if multiproc:
+        # sym_stream decides WHICH column chunks _dispatch gathers — a
+        # per-host PARFASTAAI_MIRROR_BYTES divergence would have one
+        # process skip collectives another joins (same class as
+        # _take_host above).  Process 0 decides.
+        from .parallel.distributed import broadcast_pyobj as _bpy
+
+        sym_stream = bool(_bpy(sym_stream))
     if _sym_layout and not sym_stream and primary:
         # Say WHY the half-work mirror is off instead of silently running
         # the full square (VERDICT r4 weak #4: "why is my resumed run 2x
@@ -1932,8 +1940,15 @@ def compute_streamed(
         for bi, r0 in enumerate(range(rows_done, len(row_ids), band)):
             rids, chunks = _dispatch(r0, staged_active and bi % 2 == 1)
             if pending is not None and primary:
-                pr0, prids, pchunks = pending
-                write_q.put((pr0, _assemble(pr0, prids, pchunks)))
+                try:
+                    pr0, prids, pchunks = pending
+                    write_q.put((pr0, _assemble(pr0, prids, pchunks)))
+                except BaseException as exc:
+                    # Primary-only raise (e.g. MemoryError growing the
+                    # mirror band_store) must flow through the _abort()
+                    # broadcast below, not unwind past it and strand the
+                    # other processes in their next collective.
+                    werr.append(exc)
             pending = (r0, rids, chunks)
             if _abort():
                 break
@@ -2141,8 +2156,14 @@ def compute_streamed_exact(
                 "computing the full square (VERDICT r4 weak #4)",
                 file=_sys.stderr,
             )
-        else:
-            col_chunk = band  # square blocks so mirrors transpose exactly
+    if multiproc:
+        # sym decides the per-band chunk count and which blocks hit the
+        # gather collective — a per-host PARFASTAAI_MIRROR_BYTES divergence
+        # would break the one-_abort()-per-iteration invariant and hang
+        # the pod.  Process 0 decides.
+        sym = bool(broadcast_pyobj(sym))
+    if sym:
+        col_chunk = band  # square blocks so mirrors transpose exactly
     fp = open(out_path, "a" if rows_done else "w") if primary else None
 
     # Worker (stage 2): per queued block, materialize counts, f64-finish,

@@ -358,3 +358,52 @@ def test_primary_worker_fault_aborts_whole_pod(
     codes = [p.wait(timeout=120) for p in procs]
     assert codes[0] != 0, "primary must surface the injected fault"
     assert codes[1] == 0, "non-primary must stop cleanly, not hang"
+
+
+def test_divergent_mirror_budget_cannot_deadlock(combo12_db, tmp_path):
+    """PARFASTAAI_MIRROR_BYTES is read per process and decides which column
+    chunks hit the gather collectives (streamed) / the per-band chunk count
+    (exact) — divergent values across hosts must not hang: process 0's
+    symmetric-mirror decision is broadcast."""
+    for mode_args in (
+        ["--streamed", "--mesh", "4,2", "--band", "4", "--col-chunk", "5"],
+        ["--streamed", "--exact", "--mesh", "4,2", "--band", "4",
+         "--col-chunk", "5"],
+    ):
+        port = _free_port()
+        two = tmp_path / "two.csv"
+        other = tmp_path / "nonprimary.csv"
+        two.unlink(missing_ok=True)
+        other.unlink(missing_ok=True)
+        procs = []
+        for pid in range(2):
+            env = _env(
+                4,
+                {
+                    "PARFASTAAI_COORDINATOR": f"127.0.0.1:{port}",
+                    "PARFASTAAI_NUM_PROCESSES": "2",
+                    "PARFASTAAI_PROCESS_ID": str(pid),
+                    # Primary keeps the mirror; the other's budget of 0
+                    # would disable it locally.
+                    "PARFASTAAI_MIRROR_BYTES": (
+                        "4294967296" if pid == 0 else "0"
+                    ),
+                },
+            )
+            out = two if pid == 0 else other
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, "-m", "parfastaai_tpu.cli", "--quiet",
+                     combo12_db, str(out)] + mode_args,
+                    env=env,
+                    cwd=REPO,
+                )
+            )
+        codes = [p.wait(timeout=240) for p in procs]
+        assert codes == [0, 0], mode_args
+        assert two.exists() and not other.exists()
+
+        one = tmp_path / "one.csv"
+        one.unlink(missing_ok=True)
+        assert _run_single([combo12_db, str(one)] + mode_args) == 0
+        assert two.read_bytes() == one.read_bytes(), mode_args
